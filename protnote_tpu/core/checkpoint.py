@@ -1,0 +1,64 @@
+"""Checkpoint save/restore.
+
+Contract mirrors the reference (protnote/utils/models.py:304-374 and
+ProtNoteTrainer checkpoint policy): a checkpoint carries
+{step/epoch, model params+state, optimizer state, best_val_metric} and
+restore repopulates all of them for ``--from-checkpoint`` resumption.
+Storage is a single msgpack file via flax.serialization (atomic rename), so
+restore is naturally replicated across the mesh — no parameter broadcast
+step is needed (the reference broadcasts from rank0,
+ProtNoteTrainer.py:921-938).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
+                    best_val_metric: Optional[float] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "train_state": _to_host(train_state),
+        "meta": {
+            "epoch": int(epoch),
+            "best_val_metric": None if best_val_metric is None else float(best_val_metric),
+            **(extra or {}),
+        },
+    }
+    blob = serialization.to_bytes(payload)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def restore_checkpoint(path: str, train_state_template: Dict[str, Any]
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Restore into the structure of ``train_state_template``.
+
+    Returns (train_state, meta).  Shapes/dtypes must match the template —
+    the analogue of the reference's state_dict key check.
+    """
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    template = {"train_state": _to_host(train_state_template), "meta": {}}
+    payload = serialization.from_bytes(template, blob)
+    ts = jax.tree_util.tree_map(lambda x: x, payload["train_state"])
+    return ts, payload.get("meta", {})

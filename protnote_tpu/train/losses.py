@@ -1,0 +1,189 @@
+"""Multi-label loss zoo (reference: protnote/utils/losses.py).
+
+All functions are pure ``(logits, targets, ...) -> scalar`` with optional
+elementwise masking so padded batch rows / label tiles never contribute.
+Numerics match the torch implementations:
+
+- ``focal_loss``: FocalLoss with label smoothing (losses.py:171-213),
+- ``bce_with_logits``: optional pos_weight (losses.py:275-276),
+- ``weighted_bce`` / ``cb_loss``: per-sample weights from label weights
+  via the broadcast trick (losses.py:216-243),
+- ``batch_weighted_bce`` / ``batch_label_weighted_bce``: in-batch frequency
+  weighting (losses.py:120-168),
+- ``rgd_bce``: exp-reweighted BCE (losses.py:58-74),
+- ``supcon_loss``: one-way supervised contrastive (losses.py:7-55).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _bce_elementwise(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable BCEWithLogits, elementwise."""
+    # max(x,0) - x*y + log1p(exp(-|x|))
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def _masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = -1.0,
+    gamma: float = 2.0,
+    label_smoothing: float = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    targets = targets.astype(jnp.float32)
+    if label_smoothing > 0:
+        targets = targets * (1.0 - label_smoothing) + (1.0 - targets) * label_smoothing
+    bce = _bce_elementwise(logits.astype(jnp.float32), targets)
+    pt = jnp.exp(-bce)
+    loss = ((1.0 - pt) ** gamma) * bce
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    if reduction == "mean":
+        return _masked_mean(loss, mask)
+    if reduction == "sum":
+        if mask is not None:
+            loss = loss * mask.astype(loss.dtype)
+        return jnp.sum(loss)
+    return loss
+
+
+def bce_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    pos_weight: Optional[float | jnp.ndarray] = None,
+    weight: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    targets = targets.astype(jnp.float32)
+    x = logits.astype(jnp.float32)
+    if pos_weight is not None:
+        # torch semantics: loss = -[pw*y*log(s) + (1-y)*log(1-s)]
+        log_sig = jax.nn.log_sigmoid(x)
+        log_one_minus = jax.nn.log_sigmoid(-x)
+        loss = -(pos_weight * targets * log_sig + (1.0 - targets) * log_one_minus)
+    else:
+        loss = _bce_elementwise(x, targets)
+    if weight is not None:
+        loss = loss * weight
+    return _masked_mean(loss, mask)
+
+
+def _batch_weights_from_label_weights(label_weights: jnp.ndarray,
+                                      targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample weight = sum of its positive labels' weights, broadcast
+    across the label axis (reference get_batch_weights_v2)."""
+    w = jnp.sum(label_weights[None, :] * targets, axis=1, keepdims=True)
+    return jnp.broadcast_to(w, targets.shape)
+
+
+def weighted_bce(logits, targets, label_weights, mask=None):
+    targets = targets.astype(jnp.float32)
+    w = _batch_weights_from_label_weights(label_weights.astype(jnp.float32), targets)
+    return bce_with_logits(logits, targets, weight=w, mask=mask)
+
+
+def cb_loss(logits, targets, label_counts, beta: float = 0.9999, mask=None):
+    """Class-balanced loss (reference losses.py:77-102): label_counts are the
+    per-label effective sample counts."""
+    targets = targets.astype(jnp.float32)
+    n = label_counts.shape[0]
+    effective_num = 1.0 - jnp.power(beta, label_counts.astype(jnp.float32))
+    effective_num = jnp.where(effective_num == 0, jnp.inf, effective_num)
+    weights = (1.0 - beta) / effective_num
+    weights = weights / jnp.sum(weights) * n
+    w = _batch_weights_from_label_weights(weights, targets)
+    return bce_with_logits(logits, targets, weight=w, mask=mask)
+
+
+def batch_weighted_bce(logits, targets, epsilon: float = 1e-10, mask=None):
+    targets = targets.astype(jnp.float32)
+    num_pos = jnp.sum(targets) + epsilon
+    num_neg = targets.size - num_pos + epsilon
+    total = num_pos + num_neg
+    w_pos = (1.0 / num_pos) * (total / 2.0)
+    w_neg = (1.0 / num_neg) * (total / 2.0)
+    w = targets * w_pos + (1.0 - targets) * w_neg
+    return bce_with_logits(logits, targets, weight=w, mask=mask)
+
+
+def batch_label_weighted_bce(logits, targets, epsilon: float = 1e-10, mask=None):
+    targets = targets.astype(jnp.float32)
+    total = jnp.sum(targets) + epsilon
+    freq = jnp.sum(targets, axis=0) / total
+    inv = jnp.where(freq == 0, 1.0, 1.0 / jnp.where(freq == 0, 1.0, freq))
+    weights = inv / jnp.sum(inv)
+    return bce_with_logits(logits, targets, weight=weights[None, :], mask=mask)
+
+
+def rgd_bce(logits, targets, temperature: float, mask=None):
+    targets = targets.astype(jnp.float32)
+    loss = _bce_elementwise(logits.astype(jnp.float32), targets)
+    scale = jnp.exp(
+        jnp.clip(jax.lax.stop_gradient(loss), max=temperature) / (temperature + 1.0)
+    )
+    return _masked_mean(loss * scale, mask)
+
+
+def supcon_loss(logits, targets, dim: int = 1):
+    """One-way supervised contrastive loss (reference losses.py:35-55)."""
+    targets = targets.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    logits_max = jnp.max(logits, axis=dim, keepdims=True)
+    shifted = logits - jax.lax.stop_gradient(logits_max)
+    log_prob = shifted - jnp.log(jnp.sum(jnp.exp(shifted), axis=dim, keepdims=True))
+    norm = jnp.sum(targets, axis=dim)
+    mean_log_prob_pos = jnp.sum(targets * log_prob, axis=dim) / norm
+    mean_log_prob_pos = jnp.nan_to_num(mean_log_prob_pos, nan=0.0)
+    return -jnp.mean(mean_log_prob_pos)
+
+
+def get_loss_fn(params: Dict, label_weights=None, label_counts=None,
+                bce_pos_weight=None) -> Callable:
+    """Factory keyed by ``LOSS_FN`` (reference losses.py:270-294)."""
+    name = params["LOSS_FN"]
+    if name == "BCE":
+        return lambda lg, tg, mask=None: bce_with_logits(
+            lg, tg, pos_weight=bce_pos_weight, mask=mask
+        )
+    if name == "FocalLoss":
+        return lambda lg, tg, mask=None: focal_loss(
+            lg, tg,
+            alpha=params.get("FOCAL_LOSS_ALPHA", -1),
+            gamma=params.get("FOCAL_LOSS_GAMMA", 2),
+            label_smoothing=params.get("LABEL_SMOOTHING", 0.0),
+            mask=mask,
+        )
+    if name == "WeightedBCE":
+        assert label_weights is not None
+        return lambda lg, tg, mask=None: weighted_bce(lg, tg, label_weights, mask=mask)
+    if name == "CBLoss":
+        assert label_counts is not None
+        return lambda lg, tg, mask=None: cb_loss(lg, tg, label_counts, mask=mask)
+    if name == "BatchWeightedBCE":
+        return lambda lg, tg, mask=None: batch_weighted_bce(lg, tg, mask=mask)
+    if name == "BatchLabelWeightedBCE":
+        return lambda lg, tg, mask=None: batch_label_weighted_bce(lg, tg, mask=mask)
+    if name == "RGDBCE":
+        return lambda lg, tg, mask=None: rgd_bce(lg, tg, params["RGDBCE_TEMP"], mask=mask)
+    if name == "SupCon":
+        return lambda lg, tg, mask=None: supcon_loss(lg, tg)
+    raise ValueError(f"Unknown loss function {name}")

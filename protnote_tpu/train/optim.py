@@ -1,0 +1,37 @@
+"""Optimizer factory (reference ProtNoteTrainer._set_optimizer,
+ProtNoteTrainer.py:199-245): Adam / AdamW / SGD over the trainable subset
+(projection heads + output MLP by default; encoders frozen), with gradient
+clipping at CLIP_VALUE and optional gradient accumulation — expressed as an
+optax chain instead of imperative scaler/clip/step calls."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import optax
+
+
+def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformation:
+    name = params_cfg.get("OPTIMIZER", "Adam")
+    lr = params_cfg.get("LEARNING_RATE", 3e-4)
+    wd = params_cfg.get("WEIGHT_DECAY", 0.0)
+    clip = params_cfg.get("CLIP_VALUE")
+    accum = params_cfg.get("GRADIENT_ACCUMULATION_STEPS", 1) or 1
+
+    if name == "Adam":
+        base = optax.adam(lr)
+    elif name == "AdamW":
+        base = optax.adamw(lr, weight_decay=wd)
+    elif name == "SGD":
+        base = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"Unknown optimizer {name}")
+
+    chain = []
+    if clip is not None:
+        chain.append(optax.clip_by_global_norm(float(clip)))
+    chain.append(base)
+    tx = optax.chain(*chain)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx

@@ -1,0 +1,174 @@
+"""pjit-able train / eval steps over the (dp, label) mesh.
+
+Replaces the reference's imperative engine (ProtNoteTrainer.train_one_epoch,
+ProtNoteTrainer.py:675-825: AMP autocast + GradScaler + DDP allreduce +
+manual clipping) with a single jitted function: forward (frozen ProteInfer ->
+fusion scorer), FocalLoss, grads, optax clip+Adam, and streaming tp/fp/fn
+counters.  Sharding propagates from the input shardings
+(protnote_tpu.parallel.mesh); XLA inserts the gradient psums the reference
+got from NCCL hooks.
+
+bf16 notes: with ``mixed=True`` the encoder and pair scorer run in bfloat16
+with float32 accumulation; no loss scaling is needed (unlike fp16 AMP in the
+reference) because bf16 keeps the fp32 exponent range.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from protnote_tpu.models.fusion import ProtNoteConfig, protnote_forward
+from protnote_tpu.models.proteinfer import ProteInferConfig, embed_from_ids
+
+Params = Dict[str, Any]
+
+
+def init_train_state(
+    pn_params: Params,
+    pn_state: Params,
+    enc_params: Params,
+    enc_state: Params,
+    tx: optax.GradientTransformation,
+    train_sequence_encoder: bool = False,
+) -> Dict[str, Any]:
+    trainable = {"protnote": pn_params}
+    if train_sequence_encoder:
+        trainable["encoder"] = enc_params
+    return {
+        "trainable": trainable,
+        "model_state": pn_state,
+        "enc_params": None if train_sequence_encoder else enc_params,
+        "enc_state": enc_state,
+        "opt_state": tx.init(trainable),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _pair_mask(example_mask: jnp.ndarray, num_labels: int) -> jnp.ndarray:
+    return jnp.broadcast_to(example_mask[:, None], (example_mask.shape[0], num_labels))
+
+
+def make_train_step(
+    pi_cfg: ProteInferConfig,
+    pn_cfg: ProtNoteConfig,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    train_sequence_encoder: bool = False,
+    encoder_bn_train_mode: bool = False,
+    decision_threshold: float = 0.5,
+    donate: bool = True,
+):
+    """Returns jitted ``(train_state, batch, rng) -> (train_state, metrics)``.
+
+    ``batch``: dict with aa_ids (B,T) int, lengths (B,), example_mask (B,),
+    label_embeddings (L,D), label_multihots (B,L).
+
+    ``encoder_bn_train_mode=True`` reproduces the reference quirk of running
+    the frozen encoder's BatchNorm on batch statistics during training
+    (model.train() covers the frozen tower too, ProtNoteTrainer.py:671);
+    default is deterministic eval-mode BN.
+    """
+
+    def step(ts, batch, rng):
+        rng = jax.random.fold_in(rng, ts["step"])
+        L = batch["label_embeddings"].shape[0]
+        mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1])
+
+        def loss_inner(trainable):
+            enc_params = trainable.get("encoder", ts["enc_params"])
+            enc_train = train_sequence_encoder or encoder_bn_train_mode
+            P_f, enc_state = embed_from_ids(
+                enc_params, ts["enc_state"], batch["aa_ids"], batch["lengths"],
+                pi_cfg, train=enc_train,
+            )
+            if not train_sequence_encoder:
+                P_f = jax.lax.stop_gradient(P_f)
+            logits, model_state = protnote_forward(
+                trainable["protnote"], ts["model_state"], P_f,
+                batch["label_embeddings"], pn_cfg, train=True, rng=rng,
+            )
+            loss = loss_fn(logits, batch["label_multihots"], mask=mask)
+            return loss, (logits, model_state, enc_state)
+
+        (loss, (logits, model_state, enc_state)), grads = jax.value_and_grad(
+            loss_inner, has_aux=True
+        )(ts["trainable"])
+
+        updates, opt_state = tx.update(grads, ts["opt_state"], ts["trainable"])
+        trainable = optax.apply_updates(ts["trainable"], updates)
+
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        pred = (probs > decision_threshold) & (mask > 0)
+        tgt = (batch["label_multihots"] > 0) & (mask > 0)
+        metrics = {
+            "loss": loss,
+            "tp": jnp.sum(pred & tgt, axis=0),
+            "fp": jnp.sum(pred & ~tgt, axis=0),
+            "fn": jnp.sum(~pred & tgt, axis=0),
+            "grad_norm": optax.global_norm(grads),
+            "examples": jnp.sum(batch["example_mask"]),
+        }
+        new_ts = {
+            "trainable": trainable,
+            "model_state": model_state,
+            "enc_params": ts["enc_params"],
+            "enc_state": enc_state if (train_sequence_encoder or encoder_bn_train_mode)
+            else ts["enc_state"],
+            "opt_state": opt_state,
+            "step": ts["step"] + 1,
+        }
+        return new_ts, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    pi_cfg: ProteInferConfig,
+    pn_cfg: ProtNoteConfig,
+    loss_fn: Optional[Callable] = None,
+):
+    """Returns jitted ``(params_bundle, batch) -> outputs``.
+
+    ``params_bundle``: dict with trainable/model_state/enc_params/enc_state
+    (a train_state works directly).  Outputs: logits (B, L) float32 +
+    optional loss.  Runs the folded/tiled inference pair scorer
+    (cfg.pair_backend) with inference-description ensembling.
+    """
+
+    def step(ts, batch):
+        enc_params = ts["trainable"].get("encoder", ts["enc_params"])
+        P_f, _ = embed_from_ids(
+            enc_params, ts["enc_state"], batch["aa_ids"], batch["lengths"],
+            pi_cfg, train=False,
+        )
+        logits, _ = protnote_forward(
+            ts["trainable"]["protnote"], ts["model_state"], P_f,
+            batch["label_embeddings"], pn_cfg, train=False,
+        )
+        out = {"logits": logits.astype(jnp.float32)}
+        if loss_fn is not None and batch.get("label_multihots") is not None:
+            mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1])
+            out["loss"] = loss_fn(logits, batch["label_multihots"], mask=mask)
+        return out
+
+    return jax.jit(step)
+
+
+def batch_to_device_dict(batch) -> Dict[str, jnp.ndarray]:
+    """protnote_tpu.data.batching.Batch -> plain dict of arrays for the steps."""
+    out = {
+        "aa_ids": jnp.asarray(batch.aa_ids),
+        "lengths": jnp.asarray(batch.lengths),
+        "example_mask": jnp.asarray(batch.example_mask, dtype=jnp.float32),
+    }
+    if batch.label_embeddings is not None:
+        out["label_embeddings"] = jnp.asarray(batch.label_embeddings)
+    if batch.label_multihots is not None:
+        out["label_multihots"] = jnp.asarray(batch.label_multihots)
+    return out
