@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: ProtNote inference throughput on one TPU chip.
+
+Scores a batch of sequences against the full 32,102-label GO vocabulary
+(BASELINE.json north-star: >= 50k sequence-label pair scores/sec on v5e-8
+while scoring ~32k labels/seq; reference throughput figure is ~450 seqs/min
+on A100, Results.ipynb cell 48).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": pairs/sec, "unit": "pair_scores/sec", "vs_baseline": value/50000}
+
+Run `python bench.py --details` for the per-backend breakdown on stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--labels", type=int, default=32102)
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--details", action="store_true")
+    ap.add_argument("--backend", choices=["auto", "tiled", "pallas"], default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer, embed_from_ids
+    from protnote_tpu.ops.pair_scorer import fold_output_mlp, pair_logits_tiled
+    from protnote_tpu.ops.pallas_pair_score import pair_logits_pallas
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    B, L, T = args.batch, args.labels, args.seq_len
+
+    pi_cfg = ProteInferConfig()  # full-size: 1100 channels, 5 blocks
+    pn_cfg = ProtNoteConfig(compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    pi_params, pi_state = init_proteinfer(key, pi_cfg)
+    pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
+    folded = fold_output_mlp(
+        pn_params["output_mlp"], pn_state["output_mlp"], "concatenation",
+        pn_cfg.latent_dim, dtype=jnp.bfloat16,
+    )
+
+    rng = np.random.default_rng(0)
+    aa_ids = jnp.asarray(rng.integers(0, 20, (B, T)).astype(np.int8))
+    lengths = jnp.asarray(rng.integers(T // 2, T, (B,)).astype(np.int32))
+    L_e = jnp.asarray(rng.normal(size=(L, pn_cfg.latent_dim)).astype(np.float32))
+    P_e = jnp.asarray(rng.normal(size=(B, pn_cfg.latent_dim)).astype(np.float32))
+
+    t_start = time.time()
+
+    def log(msg):
+        if args.details:
+            print(f"[{time.time()-t_start:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    def timeit(fn, *xs, iters=args.iters):
+        out = fn(*xs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*xs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    results = {}
+    log("setup done")
+
+    # Pair scorer backends (the hot op: per-pair fused MLP over 3072-d)
+    tiled = jax.jit(lambda p, l: pair_logits_tiled(folded, p, l, label_tile=512,
+                                                   compute_dtype=jnp.bfloat16))
+    results["tiled"] = timeit(tiled, P_e, L_e)
+    log(f"tiled done: {results['tiled']*1e3:.1f} ms")
+
+    if on_tpu and args.backend in ("auto", "pallas"):
+        try:
+            pallas = jax.jit(lambda p, l: pair_logits_pallas(
+                folded, p, l, label_tile=256, seq_tile=8))
+            results["pallas"] = timeit(pallas, P_e, L_e)
+        except Exception as e:
+            print(f"pallas backend failed: {e}", file=sys.stderr)
+        log("pallas done")
+
+    # Encoder forward (dilated CNN over T residues)
+    enc = jax.jit(lambda a, ln: embed_from_ids(pi_params, pi_state, a, ln, pi_cfg)[0])
+    results["encoder"] = timeit(enc, aa_ids, lengths)
+    log("encoder done")
+
+    best_name = min((k for k in results if k != "encoder"), key=results.get)
+    pair_time = results[best_name]
+    total_time = pair_time + results["encoder"]
+    pairs_per_sec = B * L / total_time
+
+    if args.details:
+        flops = 2 * 2 * B * L * pn_cfg.output_mlp_hidden_dim ** 2
+        for k, v in results.items():
+            eff = flops / v / 1e12 if k != "encoder" else float("nan")
+            print(f"{k}: {v*1e3:.2f} ms ({eff:.1f} TFLOP/s)", file=sys.stderr)
+        print(f"best pair backend: {best_name}; encoder {results['encoder']*1e3:.2f} ms; "
+              f"seqs/sec={B/total_time:.1f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"pair_scores/sec/chip (ProtNote fwd: {B} seqs x {L} GO labels, "
+                  f"{best_name} kernel, {dev.device_kind})",
+        "value": round(pairs_per_sec),
+        "unit": "pair_scores/sec",
+        "vs_baseline": round(pairs_per_sec / 50_000.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

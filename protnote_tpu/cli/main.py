@@ -1,0 +1,281 @@
+"""Training / inference entry point.
+
+Mirrors the argument surface and behaviour of the reference ``bin/main.py``
+(train_validate_test, main.py:34-192): dataset-role selection by config key
+name, optional training with weighted sampling, validation-driven
+checkpointing, decision-threshold search, multi-test-set evaluation with
+metric JSON and prediction export.  The execution model is different by
+design: one process drives the whole (dp, label) device mesh via jit — there
+is no mp.spawn / process-group setup.
+
+Example (toy end-to-end on synthetic data; see tests/test_train_e2e.py):
+  python -m protnote_tpu.cli.main --train-path-name TRAIN_DATA_PATH \
+      --validation-path-name VAL_DATA_PATH --test-paths-names TEST_DATA_PATH \
+      --name my_run --override NUM_EPOCHS 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="ProtNote-TPU train/eval")
+    ap.add_argument("--train-path-name", default=None)
+    ap.add_argument("--validation-path-name", default=None)
+    ap.add_argument("--test-paths-names", nargs="+", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--name", default="ProtNoteTPU")
+    ap.add_argument("--override", nargs="*", default=None)
+    ap.add_argument("--model-file", default=None,
+                    help="checkpoint to load (.ckpt ours, .pt reference)")
+    ap.add_argument("--from-checkpoint", action="store_true",
+                    help="resume optimizer/epoch state from --model-file")
+    ap.add_argument("--annotations-path-name", default="GO_ANNOTATIONS_PATH")
+    ap.add_argument("--base-label-embedding-name", default="GO_BASE_LABEL_EMBEDDING_PATH")
+    ap.add_argument("--save-prediction-results", action="store_true")
+    ap.add_argument("--save-embeddings", action="store_true")
+    ap.add_argument("--save-val-test-metrics", action="store_true")
+    ap.add_argument("--save-val-test-metrics-file", default="val_test_metrics.json")
+    ap.add_argument("--use-wandb", action="store_true")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--only-represented-labels", action="store_true")
+    ap.add_argument("--mesh-dp", type=int, default=None)
+    ap.add_argument("--mesh-label", type=int, default=None)
+    return ap
+
+
+def run(args) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.data.vocab import generate_vocabularies
+    from protnote_tpu.models.convert import proteinfer_from_tf_pickle
+    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.losses import get_loss_fn
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+
+    config, run_name, log = get_setup(
+        config_path=args.config or DEFAULT_CONFIG_PATH,
+        run_name=args.name,
+        overrides=args.override,
+        train_path_name=args.train_path_name,
+        val_path_name=args.validation_path_name,
+        test_paths_names=args.test_paths_names,
+        annotations_path_name=args.annotations_path_name,
+        base_label_embedding_name=args.base_label_embedding_name,
+    )
+    params = config["params"]
+    if args.seed is not None:
+        params["SEED"] = args.seed
+    seed = params["SEED"]
+
+    # ---------------- label-embedding cache ----------------
+    cache = LabelEmbeddingCache.load(
+        config["LABEL_EMBEDDING_PATH"], config["LABEL_EMBEDDING_INDEX_PATH"]
+    )
+
+    # ---------------- vocabularies ----------------
+    vocab_source = params.get("EXTRACT_VOCABULARIES_FROM")
+    vocabularies = None
+    if vocab_source:
+        vocab_path = config["paths_resolved"].get(vocab_source)
+        if vocab_path and os.path.exists(vocab_path):
+            vocabularies = generate_vocabularies(file_path=vocab_path)
+
+    # ---------------- datasets ----------------
+    datasets: Dict[str, List[ProteinDataset]] = {}
+    for role, paths in config["dataset_paths"].items():
+        datasets[role] = [
+            ProteinDataset(
+                p,
+                DatasetConfig.from_params(params, role),
+                label_embedding_cache=cache,
+                vocabularies=vocabularies,
+                seed=seed,
+            )
+            for p in paths
+        ]
+    if not datasets:
+        raise SystemExit("No datasets selected; pass --train-path-name or --test-paths-names")
+
+    any_ds = next(iter(datasets.values()))[0]
+    num_aa = len(any_ds.amino_acid_vocabulary)
+
+    # ---------------- models ----------------
+    esp = config.get("embed_sequences_params", {})
+    pi_cfg = ProteInferConfig(
+        input_channels=max(esp.get("INPUT_CHANNELS", 20), num_aa),
+        output_channels=esp.get("OUTPUT_CHANNELS", 1100),
+        kernel_size=esp.get("KERNEL_SIZE", 9),
+        dilation_base=esp.get("DILATION_BASE", 3),
+        num_resnet_blocks=esp.get("NUM_RESNET_BLOCKS", 5),
+        bottleneck_factor=esp.get("BOTTLENECK_FACTOR", 0.5),
+        num_labels=esp.get("PROTEINFER_NUM_GO_LABELS", 32102),
+    )
+    pn_cfg = ProtNoteConfig.from_params(
+        params,
+        # the fusion head consumes whatever the encoder emits; keep them in
+        # lockstep regardless of PROTEIN_EMBEDDING_DIM overrides
+        protein_embedding_dim=pi_cfg.output_channels,
+        label_embedding_dim=cache.dim,
+        inference_descriptions_per_label=len(
+            params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+")
+        ),
+        label_tile=params.get("LABEL_TILE_SIZE", 512),
+        compute_dtype=jnp.bfloat16 if params.get("MIXED_PRECISION", True) else jnp.float32,
+    )
+
+    pi_weights = config["paths_resolved"].get("PROTEINFER_GO_WEIGHTS_PATH")
+    if params.get("PRETRAINED_SEQUENCE_ENCODER") and pi_weights and os.path.exists(pi_weights):
+        log.info("loading ProteInfer weights from %s", pi_weights)
+        pi_params, pi_state = proteinfer_from_tf_pickle(pi_weights, pi_cfg)
+    else:
+        log.warning("ProteInfer weights unavailable; random init")
+        pi_params, pi_state = init_proteinfer(jax.random.PRNGKey(seed), pi_cfg)
+
+    pn_params, pn_state = init_protnote(jax.random.PRNGKey(seed + 1), pn_cfg)
+
+    # ---------------- loss / optimizer / trainer ----------------
+    train_ds = datasets.get("train", [None])[0]
+    label_weights = None
+    if train_ds is not None and params.get("LOSS_FN") in ("WeightedBCE", "CBLoss"):
+        label_weights = jnp.asarray(
+            train_ds.calculate_label_weights(power=params.get("INV_FREQUENCY_POWER", 0.5))
+        )
+    bce_pos_weight = params.get("BCE_POS_WEIGHT")
+    loss_fn = get_loss_fn(params, label_weights=label_weights,
+                          label_counts=label_weights, bce_pos_weight=bce_pos_weight)
+    tx = make_optimizer(params)
+    ts = init_train_state(
+        pn_params, pn_state, pi_params, pi_state, tx,
+        train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
+    )
+
+    out_dir = config["paths_resolved"].get("OUTPUT_MODEL_DIR", "outputs/checkpoints")
+    results_dir = config["paths_resolved"].get("RESULTS_DIR", "outputs/results")
+    tcfg = TrainerConfig.from_params(
+        params, checkpoint_dir=out_dir, run_name=run_name,
+        use_wandb=args.use_wandb,
+    )
+    trainer = Trainer(
+        ts, pi_cfg, pn_cfg, loss_fn, tx, tcfg,
+        train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
+    )
+
+    if args.model_file:
+        if args.model_file.endswith(".pt"):
+            from protnote_tpu.models.convert import load_reference_checkpoint
+
+            p2, s2, enc, meta = load_reference_checkpoint(args.model_file, pn_cfg, pi_cfg)
+            trainer.ts["trainable"]["protnote"] = p2
+            trainer.ts["model_state"] = s2
+            if enc is not None:
+                trainer.ts["enc_params"], trainer.ts["enc_state"] = enc
+        else:
+            trainer.load(args.model_file, from_checkpoint=args.from_checkpoint)
+
+    buckets = tuple(params.get("SEQUENCE_BUCKETS",
+                               (256, 512, 1024, 2048, 4096, 8192, 12288)))
+
+    # ---------------- train ----------------
+    all_metrics: Dict[str, Dict] = {}
+    if train_ds is not None:
+        sequence_weights = None
+        if params.get("WEIGHTED_SAMPLING"):
+            lw = train_ds.calculate_label_weights(
+                power=params.get("INV_FREQUENCY_POWER", 0.5)
+            )
+            sequence_weights = train_ds.calculate_sequence_weights(
+                lw, params.get("SEQUENCE_WEIGHT_AGG", "sum")
+            )
+            lo = params.get("SAMPLING_LOWER_CLAMP_BOUND")
+            hi = params.get("SAMPLING_UPPER_CLAMP_BOUND")
+            if lo is not None or hi is not None:
+                sequence_weights = np.clip(sequence_weights, lo, hi)
+        train_batcher = BucketBatcher(
+            train_ds, params["TRAIN_BATCH_SIZE"], buckets=buckets,
+            shuffle=True, drop_last=True, seed=seed,
+            label_sample_size=params.get("TRAIN_LABEL_SAMPLE_SIZE"),
+            shuffle_labels=params.get("SHUFFLE_LABELS", False),
+            in_batch_sampling=params.get("IN_BATCH_SAMPLING", False),
+            sequence_weights=sequence_weights,
+        )
+        val_batcher = None
+        if "validation" in datasets:
+            val_batcher = BucketBatcher(
+                datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
+                buckets=buckets, seed=seed,
+                label_sample_size=params.get("VALIDATION_LABEL_SAMPLE_SIZE"),
+            )
+        summary = trainer.train(train_batcher, val_batcher)
+        all_metrics["train_summary"] = {
+            "best_val_metric": summary["best_val_metric"],
+            "epochs": len(summary["history"]),
+        }
+
+    # ---------------- decision threshold ----------------
+    threshold = params.get("DECISION_TH")
+    if threshold is None and "validation" in datasets:
+        val_batcher = BucketBatcher(
+            datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
+            buckets=buckets, seed=seed,
+        )
+        threshold, score = trainer.find_optimal_threshold(val_batcher)
+        trainer.cfg.decision_threshold = threshold
+        all_metrics["decision_threshold"] = {"threshold": threshold, "score": score}
+
+    # ---------------- test ----------------
+    for i, test_ds in enumerate(datasets.get("test", [])):
+        split = f"test_{i}" if len(datasets["test"]) > 1 else "test"
+        batcher = BucketBatcher(test_ds, params["TEST_BATCH_SIZE"],
+                                buckets=buckets, seed=seed)
+        res = trainer.evaluate(
+            batcher, save_results=args.save_prediction_results,
+            output_dir=results_dir, data_split_name=split,
+            only_represented_labels=args.only_represented_labels,
+        )
+        all_metrics[split] = res["metrics"]
+        log.info("%s metrics: %s", split, json.dumps(res["metrics"], default=float))
+
+    if args.save_val_test_metrics and all_metrics:
+        path = args.save_val_test_metrics_file
+        existing = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                try:
+                    existing = json.load(fh)
+                except json.JSONDecodeError:
+                    existing = []
+        existing.append({"run_name": run_name, "metrics": all_metrics})
+        with open(path, "w") as fh:
+            json.dump(existing, fh, indent=2, default=float)
+
+    trainer.wandb.finish()
+    return all_metrics
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

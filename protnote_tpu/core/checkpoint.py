@@ -30,18 +30,20 @@ def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
                     best_val_metric: Optional[float] = None,
                     extra: Optional[Dict[str, Any]] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
-        "train_state": _to_host(train_state),
-        "meta": {
-            "epoch": int(epoch),
-            "best_val_metric": None if best_val_metric is None else float(best_val_metric),
-            **(extra or {}),
-        },
+    meta = {
+        "epoch": int(epoch),
+        "best_val_metric": None if best_val_metric is None else float(best_val_metric),
+        **(extra or {}),
     }
-    blob = serialization.to_bytes(payload)
+    meta_blob = json.dumps(meta).encode()
+    blob = serialization.to_bytes(_to_host(train_state))
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
+            # layout: magic, meta length (8 bytes ascii), json meta, msgpack tree
+            fh.write(b"PNTPU1\n")
+            fh.write(f"{len(meta_blob):016d}".encode())
+            fh.write(meta_blob)
             fh.write(blob)
         os.replace(tmp, path)
     finally:
@@ -57,8 +59,11 @@ def restore_checkpoint(path: str, train_state_template: Dict[str, Any]
     the analogue of the reference's state_dict key check.
     """
     with open(path, "rb") as fh:
+        magic = fh.read(7)
+        if magic != b"PNTPU1\n":
+            raise ValueError(f"{path}: not a protnote_tpu checkpoint")
+        meta_len = int(fh.read(16))
+        meta = json.loads(fh.read(meta_len))
         blob = fh.read()
-    template = {"train_state": _to_host(train_state_template), "meta": {}}
-    payload = serialization.from_bytes(template, blob)
-    ts = jax.tree_util.tree_map(lambda x: x, payload["train_state"])
-    return ts, payload.get("meta", {})
+    ts = serialization.from_bytes(_to_host(train_state_template), blob)
+    return ts, meta

@@ -80,9 +80,13 @@ def override_config(config: Config, overrides: Optional[Iterable[str]]) -> Confi
     if len(overrides) % 2 != 0:
         raise ValueError("--override expects KEY VALUE pairs")
     for key, value in zip(overrides[::2], overrides[1::2]):
-        if key not in config["params"]:
+        if key in config["params"]:
+            section = "params"
+        elif key in config.get("embed_sequences_params", {}):
+            section = "embed_sequences_params"
+        else:
             raise KeyError(f"Unknown override key {key!r}: not in params")
-        config["params"][key] = _coerce(value) if isinstance(value, str) else value
+        config[section][key] = _coerce(value) if isinstance(value, str) else value
     return config
 
 

@@ -1,0 +1,402 @@
+"""Training/evaluation engine.
+
+Covers the responsibilities of the reference ProtNoteTrainer
+(protnote/models/ProtNoteTrainer.py:86-940) on the TPU stack:
+
+- epoch loop over the bucketed batcher, jitted train step, grad clipping and
+  optimizer inside the step (optax),
+- streaming train metrics from on-device tp/fp/fn counters,
+- periodic validation with the full metric suite, best-metric / best-loss /
+  every-10-epochs / last checkpoints (same policy and file-name roles,
+  ProtNoteTrainer.py:329-376,890-919),
+- decision-threshold sweep on validation (find_optimal_threshold,
+  ProtNoteTrainer.py:378-433 — reimplemented correctly: the reference never
+  fills its probability buffer),
+- evaluation with logits/labels export (evaluation.py:274-322),
+- first-class throughput meters (seqs/sec, pair-scores/sec) and optional
+  jax.profiler traces (SURVEY.md §5.1).
+
+Checkpoint restore is replicated by construction — no post-restore param
+broadcast is needed (reference ProtNoteTrainer.py:921-938).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protnote_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+from protnote_tpu.data.batching import Batch, BucketBatcher
+from protnote_tpu.evaln.metrics import EvalMetrics, confusion_metrics
+from protnote_tpu.evaln.results_io import save_evaluation_results
+from protnote_tpu.models.fusion import ProtNoteConfig
+from protnote_tpu.models.proteinfer import ProteInferConfig
+from protnote_tpu.train.step import batch_to_device_dict, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    num_epochs: int = 1
+    epochs_per_validation: int = 1
+    decision_threshold: Optional[float] = 0.5
+    optimization_metric_name: str = "f1_macro"
+    decision_th_metric_name: str = "f1_macro"
+    estimate_map: bool = False
+    seed: int = 42
+    checkpoint_dir: Optional[str] = None
+    run_name: str = "run"
+    log_every_fraction: float = 0.1
+    profile_dir: Optional[str] = None
+    use_wandb: bool = False
+
+    @classmethod
+    def from_params(cls, params: Dict, **overrides) -> "TrainerConfig":
+        kw = dict(
+            num_epochs=params.get("NUM_EPOCHS", 1),
+            epochs_per_validation=params.get("EPOCHS_PER_VALIDATION", 1),
+            decision_threshold=params.get("DECISION_TH", 0.5),
+            optimization_metric_name=params.get("OPTIMIZATION_METRIC_NAME", "f1_macro"),
+            decision_th_metric_name=params.get("DECISION_TH_METRIC_NAME", "f1_macro"),
+            estimate_map=params.get("ESTIMATE_MAP", False),
+            seed=params.get("SEED", 42),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+class ThroughputMeter:
+    """seqs/sec and pair-scores/sec over a sliding window."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.t0 = time.perf_counter()
+        self.seqs = 0
+        self.pairs = 0
+
+    def add(self, num_seqs: int, num_labels: int):
+        self.seqs += num_seqs
+        self.pairs += num_seqs * num_labels
+
+    def rates(self) -> Dict[str, float]:
+        dt = max(time.perf_counter() - self.t0, 1e-9)
+        return {"seqs_per_sec": self.seqs / dt, "pairs_per_sec": self.pairs / dt}
+
+
+class WandbLogger:
+    """No-op unless wandb is importable and enabled (reference gates on
+    --use-wandb + master rank, bin/main.py:245-262)."""
+
+    def __init__(self, enabled: bool, run_name: str, config: Optional[Dict] = None):
+        self._run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(name=run_name, config=config or {})
+        except Exception as e:  # pragma: no cover
+            logger.warning("wandb unavailable (%s); logging disabled", e)
+
+    def log(self, metrics: Dict[str, float], step: Optional[int] = None):
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_state: Dict[str, Any],
+        pi_cfg: ProteInferConfig,
+        pn_cfg: ProtNoteConfig,
+        loss_fn: Callable,
+        tx,
+        config: TrainerConfig,
+        train_sequence_encoder: bool = False,
+        encoder_bn_train_mode: bool = False,
+    ):
+        self.ts = train_state
+        self.pi_cfg = pi_cfg
+        self.pn_cfg = pn_cfg
+        self.loss_fn = loss_fn
+        self.cfg = config
+        self._train_step = make_train_step(
+            pi_cfg, pn_cfg, loss_fn, tx,
+            train_sequence_encoder=train_sequence_encoder,
+            encoder_bn_train_mode=encoder_bn_train_mode,
+            decision_threshold=config.decision_threshold or 0.5,
+            donate=True,
+        )
+        self._eval_step = make_eval_step(pi_cfg, pn_cfg, loss_fn)
+        self.starting_epoch = 0
+        self.epoch = 0
+        self.best_val_metric = -float("inf")
+        self.best_val_loss = float("inf")
+        self.meter = ThroughputMeter()
+        self.wandb = WandbLogger(config.use_wandb, config.run_name)
+
+    # ---------------- checkpoints ----------------
+
+    def _ckpt_path(self, kind: str) -> str:
+        d = self.cfg.checkpoint_dir or "."
+        return os.path.join(d, f"{self.cfg.run_name}_{kind}.ckpt")
+
+    def save(self, kind: str):
+        if self.cfg.checkpoint_dir is None:
+            return
+        save_checkpoint(
+            self._ckpt_path(kind), self.ts, epoch=self.epoch,
+            best_val_metric=self.best_val_metric,
+        )
+
+    def load(self, path: str, from_checkpoint: bool = False):
+        self.ts, meta = restore_checkpoint(path, self.ts)
+        if from_checkpoint:
+            self.starting_epoch = self.epoch = int(meta.get("epoch", 0))
+            bvm = meta.get("best_val_metric")
+            if bvm is not None:
+                self.best_val_metric = bvm
+
+    # ---------------- training ----------------
+
+    def train_one_epoch(self, batcher: BucketBatcher, rng_key) -> Dict[str, float]:
+        num_batches = max(len(batcher), 1)
+        log_every = max(int(num_batches * self.cfg.log_every_fraction), 1)
+        losses = []
+        tp = fp = fn = None
+        self.meter.reset()
+        num_labels = batcher.ds.num_labels
+
+        for i, batch in enumerate(batcher):
+            arrays = batch_to_device_dict(batch)
+            self.ts, metrics = self._train_step(self.ts, arrays, rng_key)
+            losses.append(metrics["loss"])
+            tp = metrics["tp"] if tp is None else tp + metrics["tp"]
+            fp = metrics["fp"] if fp is None else fp + metrics["fp"]
+            fn = metrics["fn"] if fn is None else fn + metrics["fn"]
+            self.meter.add(int(batch.example_mask.sum()), num_labels)
+            if (i + 1) % log_every == 0:
+                rates = self.meter.rates()
+                logger.info(
+                    "epoch %d [%d/%d] loss=%.4f %.1f seqs/s %.3g pairs/s",
+                    self.epoch, i + 1, num_batches, float(metrics["loss"]),
+                    rates["seqs_per_sec"], rates["pairs_per_sec"],
+                )
+
+        out = {"loss": float(jnp.mean(jnp.stack(losses))) if losses else float("nan")}
+        if tp is not None:
+            out.update(confusion_metrics(np.asarray(tp), np.asarray(fp), np.asarray(fn)))
+        out.update(self.meter.rates())
+        return out
+
+    def train(
+        self,
+        train_batcher: BucketBatcher,
+        val_batcher: Optional[BucketBatcher] = None,
+        val_dataset=None,
+    ) -> Dict[str, Any]:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        history: List[Dict[str, float]] = []
+        if self.cfg.profile_dir:
+            jax.profiler.start_trace(self.cfg.profile_dir)
+        try:
+            for epoch in range(self.starting_epoch, self.cfg.num_epochs):
+                self.epoch = epoch
+                train_batcher.set_epoch(epoch)
+                epoch_key = jax.random.fold_in(key, epoch)
+                with jax.profiler.StepTraceAnnotation("train_epoch", step_num=epoch):
+                    m = self.train_one_epoch(train_batcher, epoch_key)
+                m["epoch"] = epoch
+                logger.info("epoch %d train: %s", epoch, _fmt(m))
+                self.wandb.log({f"train/{k}": v for k, v in m.items()}, step=epoch)
+
+                if val_batcher is not None and (
+                    (epoch + 1) % self.cfg.epochs_per_validation == 0
+                ):
+                    vm = self.validate(val_batcher, val_dataset)
+                    m.update({f"val_{k}": v for k, v in vm.items()})
+                    logger.info("epoch %d val: %s", epoch, _fmt(vm))
+                    self.wandb.log({f"val/{k}": v for k, v in vm.items()}, step=epoch)
+
+                    metric = vm.get(self.cfg.optimization_metric_name)
+                    if metric is not None and metric > self.best_val_metric:
+                        self.best_val_metric = metric
+                        self.save("best_val_metric")
+                    if vm.get("loss", float("inf")) < self.best_val_loss:
+                        self.best_val_loss = vm["loss"]
+                        self.save("best_val_loss")
+
+                if (epoch + 1) % 10 == 0:
+                    self.save(f"epoch_{epoch + 1}")
+                history.append(m)
+            self.save("last_epoch")
+        finally:
+            if self.cfg.profile_dir:
+                jax.profiler.stop_trace()
+        # restore the best checkpoint for downstream evaluation, like the
+        # reference's rank0 reload+broadcast (ProtNoteTrainer.py:921-938)
+        best = self._ckpt_path("best_val_metric")
+        if self.cfg.checkpoint_dir is not None and os.path.exists(best):
+            self.load(best)
+        return {"history": history, "best_val_metric": self.best_val_metric}
+
+    # ---------------- evaluation ----------------
+
+    def validate(self, batcher: BucketBatcher, dataset=None) -> Dict[str, float]:
+        return self.evaluate(batcher, dataset)["metrics"]
+
+    def evaluate(
+        self,
+        batcher: BucketBatcher,
+        dataset=None,
+        save_results: bool = False,
+        output_dir: Optional[str] = None,
+        data_split_name: str = "test",
+        only_represented_labels: bool = False,
+        normalize_probabilities: bool = False,
+        parenthood: Optional[Dict] = None,
+    ) -> Dict[str, Any]:
+        ds = dataset if dataset is not None else batcher.ds
+        num_labels = ds.num_labels
+        represented = (
+            np.asarray(ds.represented_vocabulary_mask)
+            if only_represented_labels else None
+        )
+        eff_labels = int(represented.sum()) if represented is not None else num_labels
+        metrics = EvalMetrics(
+            num_labels=eff_labels,
+            threshold=self.cfg.decision_threshold,
+            map_estimate=self.cfg.estimate_map,
+        )
+        all_logits, all_labels, all_ids = [], [], []
+        losses = []
+        self.meter.reset()
+
+        for batch in batcher:
+            arrays = batch_to_device_dict(batch)
+            out = self._eval_step(self.ts, arrays)
+            logits = np.asarray(out["logits"])
+            if "loss" in out:
+                losses.append(float(out["loss"]))
+            keep = batch.example_mask
+            logits = logits[keep]
+            labels = (
+                batch.label_multihots[keep]
+                if batch.label_multihots is not None else None
+            )
+            ids = [s for s, k in zip(batch.sequence_ids, keep) if k]
+
+            if normalize_probabilities and parenthood is not None:
+                from protnote_tpu.evaln.go_dag import normalize_confidences
+
+                probs = normalize_confidences(
+                    _sigmoid(logits), ds.label_vocabulary, parenthood
+                )
+            else:
+                probs = _sigmoid(logits)
+            if represented is not None:
+                probs = probs[:, represented]
+                labels = labels[:, represented] if labels is not None else None
+            if labels is not None:
+                metrics.update(probs, labels)
+            self.meter.add(len(ids), num_labels)
+            if save_results:
+                all_logits.append(logits.astype(np.float16))
+                if labels is not None:
+                    all_labels.append(labels)
+                all_ids.extend(ids)
+
+        result: Dict[str, Any] = {}
+        m = metrics.compute()
+        if losses:
+            m["loss"] = float(np.mean(losses))
+        m.update(self.meter.rates())
+        result["metrics"] = m
+
+        if save_results and all_logits:
+            results = {
+                "logits": np.concatenate(all_logits, axis=0),
+                "sequence_ids": all_ids,
+            }
+            if all_labels:
+                results["labels"] = np.concatenate(all_labels, axis=0)
+            result["paths"] = save_evaluation_results(
+                results, ds.label_vocabulary, self.cfg.run_name,
+                output_dir or ".", data_split_name,
+            )
+        return result
+
+    def find_optimal_threshold(
+        self, batcher: BucketBatcher, thresholds: Optional[np.ndarray] = None
+    ) -> tuple[float, float]:
+        """Sweep decision thresholds on validation, maximising
+        ``decision_th_metric_name`` (fixed version of the reference's
+        find_optimal_threshold, ProtNoteTrainer.py:378-433)."""
+        if thresholds is None:
+            thresholds = np.arange(0.01, 1.0, 0.01, dtype=np.float32)
+        T = len(thresholds)
+        num_labels = batcher.ds.num_labels
+        tp = np.zeros((T, num_labels), np.int64)
+        fp = np.zeros((T, num_labels), np.int64)
+        fn = np.zeros((T, num_labels), np.int64)
+
+        thr = jnp.asarray(thresholds)
+
+        @jax.jit
+        def count(logits, labels, mask):
+            probs = jax.nn.sigmoid(logits)
+            t = labels > 0
+            valid = mask[:, None] > 0
+
+            def per_thr(th):
+                pred = (probs > th) & valid
+                return (
+                    jnp.sum(pred & t, axis=0),
+                    jnp.sum(pred & ~t, axis=0),
+                    jnp.sum(~pred & t & valid, axis=0),
+                )
+
+            return jax.lax.map(per_thr, thr)
+
+        for batch in batcher:
+            arrays = batch_to_device_dict(batch)
+            out = self._eval_step(self.ts, arrays)
+            btp, bfp, bfn = count(
+                out["logits"], arrays["label_multihots"], arrays["example_mask"]
+            )
+            tp += np.asarray(btp)
+            fp += np.asarray(bfp)
+            fn += np.asarray(bfn)
+
+        name = self.cfg.decision_th_metric_name
+        scores = []
+        for i in range(T):
+            scores.append(confusion_metrics(tp[i], fp[i], fn[i])[name])
+        best = int(np.argmax(scores))
+        logger.info("optimal threshold %.2f (%s=%.4f)", thresholds[best], name,
+                    scores[best])
+        return float(thresholds[best]), float(scores[best])
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x.astype(np.float32)))
+
+
+def _fmt(m: Dict[str, float]) -> str:
+    return " ".join(
+        f"{k}={v:.4g}" for k, v in m.items() if isinstance(v, (int, float))
+    )
