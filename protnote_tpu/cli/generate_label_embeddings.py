@@ -80,6 +80,8 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--encoder", default=None,
                     help="override LABEL_ENCODER_CHECKPOINT (e.g. 'hash')")
+    ap.add_argument("--backend", choices=["torch", "jax"], default="torch",
+                    help="jax = native XLA encoder (runs on TPU)")
     ap.add_argument("--override", nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -99,7 +101,14 @@ def main(argv=None):
     encoder = build_label_encoder(
         params["LABEL_ENCODER_CHECKPOINT"],
         pooling_method=params["LABEL_EMBEDDING_POOLING_METHOD"],
+        backend=args.backend,
     )
+    if encoder.checkpoint != params["LABEL_ENCODER_CHECKPOINT"]:
+        # fallback happened — name the cache after the encoder actually used
+        logger.warning(
+            "cache will be named after fallback encoder %r", encoder.checkpoint
+        )
+        params["LABEL_ENCODER_CHECKPOINT"] = encoder.checkpoint
     token_counts = encoder.token_counts(texts)
     embed_texts = (
         [E5_INSTRUCTION + t for t in texts] if args.add_instruction else texts

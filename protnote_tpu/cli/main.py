@@ -168,6 +168,22 @@ def run(args) -> Dict:
         train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
     )
 
+    # ---------------- mesh ----------------
+    from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh_dp = args.mesh_dp if args.mesh_dp is not None else params.get("MESH_DP", -1)
+    mesh_label = (
+        args.mesh_label if args.mesh_label is not None else params.get("MESH_LABEL", 1)
+    )
+    if params.get("DISTRIBUTE_LABELS") and mesh_label == 1 and len(jax.devices()) > 1:
+        mesh_label = len(jax.devices())  # reference DISTRIBUTE_LABELS mode
+        mesh_dp = 1
+    mesh = None
+    if len(jax.devices()) > 1 or mesh_label > 1:
+        mesh = make_mesh(MeshSpec(dp=mesh_dp, label=mesh_label))
+        log.info("mesh: dp=%d label=%d", mesh.shape["dp"], mesh.shape["label"])
+    label_pad = mesh.shape["label"] if mesh is not None else 1
+
     out_dir = config["paths_resolved"].get("OUTPUT_MODEL_DIR", "outputs/checkpoints")
     results_dir = config["paths_resolved"].get("RESULTS_DIR", "outputs/results")
     tcfg = TrainerConfig.from_params(
@@ -177,6 +193,7 @@ def run(args) -> Dict:
     trainer = Trainer(
         ts, pi_cfg, pn_cfg, loss_fn, tx, tcfg,
         train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
+        mesh=mesh,
     )
 
     if args.model_file:
@@ -209,20 +226,31 @@ def run(args) -> Dict:
             hi = params.get("SAMPLING_UPPER_CLAMP_BOUND")
             if lo is not None or hi is not None:
                 sequence_weights = np.clip(sequence_weights, lo, hi)
+        grid = params.get("GRID_SAMPLER", False)
         train_batcher = BucketBatcher(
             train_ds, params["TRAIN_BATCH_SIZE"], buckets=buckets,
             shuffle=True, drop_last=True, seed=seed,
-            label_sample_size=params.get("TRAIN_LABEL_SAMPLE_SIZE"),
+            label_sample_size=None if grid else params.get("TRAIN_LABEL_SAMPLE_SIZE"),
             shuffle_labels=params.get("SHUFFLE_LABELS", False),
             in_batch_sampling=params.get("IN_BATCH_SAMPLING", False),
             sequence_weights=sequence_weights,
+            label_pad_multiple=label_pad,
         )
+        if grid:
+            from protnote_tpu.data.batching import GridBatcher
+
+            sample = params.get("TRAIN_LABEL_SAMPLE_SIZE")
+            if not sample:
+                raise SystemExit("GRID_SAMPLER requires TRAIN_LABEL_SAMPLE_SIZE")
+            train_batcher = GridBatcher(train_batcher, labels_batch_size=sample)
         val_batcher = None
         if "validation" in datasets:
             val_batcher = BucketBatcher(
                 datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
                 buckets=buckets, seed=seed,
                 label_sample_size=params.get("VALIDATION_LABEL_SAMPLE_SIZE"),
+                label_pad_multiple=label_pad,
+                descriptions_per_label=pn_cfg.inference_descriptions_per_label,
             )
         summary = trainer.train(train_batcher, val_batcher)
         all_metrics["train_summary"] = {
@@ -235,7 +263,8 @@ def run(args) -> Dict:
     if threshold is None and "validation" in datasets:
         val_batcher = BucketBatcher(
             datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
-            buckets=buckets, seed=seed,
+            buckets=buckets, seed=seed, label_pad_multiple=label_pad,
+            descriptions_per_label=pn_cfg.inference_descriptions_per_label,
         )
         threshold, score = trainer.find_optimal_threshold(val_batcher)
         trainer.cfg.decision_threshold = threshold
@@ -244,8 +273,11 @@ def run(args) -> Dict:
     # ---------------- test ----------------
     for i, test_ds in enumerate(datasets.get("test", [])):
         split = f"test_{i}" if len(datasets["test"]) > 1 else "test"
-        batcher = BucketBatcher(test_ds, params["TEST_BATCH_SIZE"],
-                                buckets=buckets, seed=seed)
+        batcher = BucketBatcher(
+            test_ds, params["TEST_BATCH_SIZE"], buckets=buckets, seed=seed,
+            label_pad_multiple=label_pad,
+            descriptions_per_label=pn_cfg.inference_descriptions_per_label,
+        )
         res = trainer.evaluate(
             batcher, save_results=args.save_prediction_results,
             output_dir=results_dir, data_split_name=split,

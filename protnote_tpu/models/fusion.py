@@ -182,6 +182,7 @@ def init_protnote(key, cfg: ProtNoteConfig) -> Tuple[Params, Params]:
 def projection_head_apply(
     p: Params, s: Params, x: jnp.ndarray, cfg: ProtNoteConfig, train: bool,
     input_dropout: float = 0.0, rng=None,
+    rows_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     if train and input_dropout > 0 and rng is not None:
         rng, sub = jax.random.split(rng)
@@ -193,7 +194,8 @@ def projection_head_apply(
         h = linear(lin, h)
         if i < n - 1:
             h, bs = batchnorm_apply(p["bns"][i], s["bns"][i], h, train,
-                                    eps=BN_EPS, momentum=BN_MOMENTUM)
+                                    eps=BN_EPS, momentum=BN_MOMENTUM,
+                                    mask=rows_mask)
             new_bns.append(bs)
             h = jax.nn.relu(h)
             if train and cfg.dropout > 0 and rng is not None:
@@ -246,12 +248,16 @@ def protnote_forward(
     train: bool = False,
     rng=None,
     label_attention_mask: Optional[jnp.ndarray] = None,
+    example_mask: Optional[jnp.ndarray] = None,
+    label_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Score every sequence against every label row.
 
     Returns ((B, L) logits, new_state).  When
     ``cfg.inference_descriptions_per_label > 1`` and not training, incoming
     label rows are grouped in consecutive blocks of K per label and ensembled.
+    ``example_mask`` (B,) / ``label_mask`` (L,) exclude padded rows from
+    train-mode BatchNorm statistics.
     """
     new_state = dict(state)
     rngs = {}
@@ -272,10 +278,12 @@ def protnote_forward(
     P_e, wp_s = projection_head_apply(
         params["W_p"], state["W_p"], sequence_embeddings, cfg, train,
         input_dropout=cfg.sequence_embedding_dropout, rng=rng_p,
+        rows_mask=None if example_mask is None else example_mask[:, None],
     )
     L_e, wl_s = projection_head_apply(
         params["W_l"], state["W_l"], L_f, cfg, train,
         input_dropout=cfg.label_embedding_dropout, rng=rng_l,
+        rows_mask=None if label_mask is None else label_mask[:, None],
     )
     new_state["W_p"] = wp_s
     new_state["W_l"] = wl_s
@@ -288,9 +296,22 @@ def protnote_forward(
         if backend == "auto":
             backend = "dense" if train else "tiled"
         if train or backend == "dense":
+            pair_mask = None
+            if train and (example_mask is not None or label_mask is not None):
+                em = (
+                    example_mask
+                    if example_mask is not None
+                    else jnp.ones(P_e.shape[0], P_e.dtype)
+                )
+                lm = (
+                    label_mask
+                    if label_mask is not None
+                    else jnp.ones(L_e.shape[0], P_e.dtype)
+                )
+                pair_mask = em[:, None] * lm[None, :]
             logits, om_s = pair_logits_dense(
                 params["output_mlp"], om_state, P_e, L_e, cfg.feature_fusion,
-                train=train, dropout=cfg.dropout, rng=rng_o,
+                train=train, dropout=cfg.dropout, rng=rng_o, pair_mask=pair_mask,
             )
             if om_s is not None:
                 new_state["output_mlp"] = om_s

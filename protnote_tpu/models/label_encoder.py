@@ -147,12 +147,87 @@ class HashLabelEncoder:
         return out
 
 
+class JaxLabelEncoder:
+    """Native JAX text encoder (models/text_transformer.py) behind the same
+    embed() interface — the jitted on-the-fly zero-shot path.
+
+    Loads HF weights through the torch state dict once, then runs entirely in
+    XLA (optionally on TPU, bf16).  Supports LoRA adapters and partial
+    unfreezing via ``trainable_mask``.
+    """
+
+    def __init__(self, checkpoint: str, pooling_method: str = "mean",
+                 local_files_only: bool = True, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+        from protnote_tpu.models.text_transformer import (
+            config_from_hf,
+            from_hf_state_dict,
+            pool_hidden_states_jnp,
+            text_encoder_forward,
+        )
+
+        self.checkpoint = checkpoint
+        self.pooling_method = pooling_method
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            checkpoint, local_files_only=local_files_only
+        )
+        hf_cfg = AutoConfig.from_pretrained(checkpoint, local_files_only=local_files_only)
+        model = AutoModel.from_pretrained(checkpoint, local_files_only=local_files_only)
+        self.cfg = config_from_hf(hf_cfg)
+        if dtype is not None:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, dtype=dtype)
+        self.params = from_hf_state_dict(model.state_dict(), self.cfg)
+        del model
+        self.dim = self.cfg.hidden_size
+
+        def fwd(params, ids, mask):
+            hidden = text_encoder_forward(params, ids, mask, self.cfg)
+            return pool_hidden_states_jnp(hidden, mask, pooling_method)
+
+        self._fwd = jax.jit(fwd)
+
+    def token_counts(self, texts: Sequence[str]) -> List[int]:
+        enc = self.tokenizer(list(texts), truncation=True, max_length=MAX_LABEL_TOKENS)
+        return [len(x) for x in enc["input_ids"]]
+
+    def embed(self, texts: Sequence[str], batch_size: int = 128,
+              account_for_sos: bool = True) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = []
+        for s in range(0, len(texts), batch_size):
+            chunk = list(texts[s : s + batch_size])
+            toks = self.tokenizer(
+                chunk, padding="longest", truncation=True,
+                max_length=MAX_LABEL_TOKENS, return_tensors="np",
+            )
+            pooled = self._fwd(
+                self.params,
+                jnp.asarray(toks["input_ids"].astype(np.int32)),
+                jnp.asarray(toks["attention_mask"].astype(np.int32)),
+            )
+            out.append(np.asarray(pooled, dtype=np.float32))
+        return np.concatenate(out, axis=0)
+
+
 def build_label_encoder(checkpoint: str, pooling_method: str = "mean",
-                        device: str = "cpu", allow_fallback: bool = True):
-    """Factory: HF encoder when available locally, hash stub otherwise."""
+                        device: str = "cpu", allow_fallback: bool = True,
+                        backend: str = "torch"):
+    """Factory: HF encoder when available locally, hash stub otherwise.
+
+    ``backend='jax'`` uses the native XLA implementation (TPU-jittable);
+    ``'torch'`` uses HF directly (CPU offline cache generation).
+    """
     if checkpoint == "hash":
         return HashLabelEncoder(pooling_method=pooling_method)
     try:
+        if backend == "jax":
+            return JaxLabelEncoder(checkpoint, pooling_method=pooling_method)
         return TorchLabelEncoder(checkpoint, device=device,
                                  pooling_method=pooling_method)
     except Exception as e:

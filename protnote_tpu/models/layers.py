@@ -79,7 +79,13 @@ def batchnorm_apply(
         xf = x.astype(jnp.float32)
         if mask is not None:
             m = mask.astype(jnp.float32)
-            n = count if count is not None else jnp.sum(m)
+            if count is not None:
+                n = count
+            else:
+                # valid-row count per channel: broadcast the mask over every
+                # reduced axis (it may be lower-rank, e.g. (B,1,1) for (B,T,C))
+                m_full = jnp.broadcast_to(m, xf.shape[:-1] + (1,))
+                n = jnp.maximum(jnp.sum(m_full, axis=reduce_axes), 1.0)
             mean = jnp.sum(xf * m, axis=reduce_axes) / n
             var = jnp.sum((xf - mean) ** 2 * m, axis=reduce_axes) / n
         else:

@@ -138,14 +138,23 @@ def proteinfer_embed(
     lengths: jnp.ndarray,  # (B,)
     cfg: ProteInferConfig,
     train: bool = False,
+    example_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Masked dilated CNN -> (B, output_channels) embedding.
 
     Mirrors ProteInfer.get_embeddings (protein_encoders.py:109-118): conv stem,
     residual blocks, final padding zero-out, sum/length mean pool.
+
+    Train-mode BatchNorm counts every (example, position) — including padded
+    positions, matching torch BatchNorm1d over padded batches (the reference
+    runs BN on zero-padded tensors) — except rows masked off by
+    ``example_mask`` (synthetic batch-filler rows).
     """
     x = aa_onehot.astype(cfg.dtype)
     mask = length_mask(lengths, x.shape[1])
+    bn_mask = None
+    if train and example_mask is not None:
+        bn_mask = example_mask.astype(jnp.float32)[:, None, None]
 
     feats = _masked_conv(params["conv1"], x, mask, dilation=1)
 
@@ -153,13 +162,13 @@ def proteinfer_embed(
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
         out, bn1_s = batchnorm_apply(
             bp["bn1"], bs["bn1"], feats, train, eps=BN_EPS, momentum=BN_MOMENTUM,
-            reduce_axes=(0, 1),
+            reduce_axes=(0, 1), mask=bn_mask,
         )
         out = jax.nn.relu(out)
         out = _masked_conv(bp["conv_dilated"], out, mask, dilation=cfg.dilation_base ** i)
         out, bn2_s = batchnorm_apply(
             bp["bn2"], bs["bn2"], out, train, eps=BN_EPS, momentum=BN_MOMENTUM,
-            reduce_axes=(0, 1),
+            reduce_axes=(0, 1), mask=bn_mask,
         )
         out = jax.nn.relu(out)
         out = _masked_conv(bp["conv_1x1"], out, mask, dilation=1)
@@ -193,7 +202,9 @@ def embed_from_ids(
     lengths: jnp.ndarray,
     cfg: ProteInferConfig,
     train: bool = False,
+    example_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Convenience: int residue ids -> embedding (on-device one-hot)."""
     onehot = one_hot_sequences(aa_ids, cfg.input_channels, dtype=cfg.dtype)
-    return proteinfer_embed(params, state, onehot, lengths, cfg, train)
+    return proteinfer_embed(params, state, onehot, lengths, cfg, train,
+                            example_mask=example_mask)

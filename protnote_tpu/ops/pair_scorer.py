@@ -57,8 +57,12 @@ def output_mlp_apply(
     train: bool,
     dropout: float = 0.0,
     rng=None,
+    rows_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
-    """Dense application over rows of ``x``; returns (logits (N,), new_state)."""
+    """Dense application over rows of ``x``; returns (logits (N,), new_state).
+
+    ``rows_mask`` (N, 1) excludes padded pair rows from train-mode BatchNorm
+    statistics (mesh label/example padding must not perturb training)."""
     h = x
     new_bns: List[Params] = []
     n = len(p["layers"])
@@ -66,7 +70,8 @@ def output_mlp_apply(
         h = linear(lin, h)
         if s is not None:
             h, bs = batchnorm_apply(p["bns"][i], s["bns"][i], h, train,
-                                    eps=BN_EPS, momentum=BN_MOMENTUM)
+                                    eps=BN_EPS, momentum=BN_MOMENTUM,
+                                    mask=rows_mask)
             new_bns.append(bs)
         h = jax.nn.relu(h)
         if train and dropout > 0 and i < n - 1 and rng is not None:
@@ -106,13 +111,16 @@ def pair_logits_dense(
     train: bool = False,
     dropout: float = 0.0,
     rng=None,
+    pair_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Materialised (B*L, F) scoring — the training path (BN stats over all
     pairs, exactly like the reference).  Returns ((B, L) logits, new_state)."""
     B = P_e.shape[0]
     L = L_e.shape[0]
     joint = joint_embeddings(P_e, L_e, feature_fusion).reshape(B * L, -1)
-    logits, new_s = output_mlp_apply(p, s, joint, train, dropout, rng)
+    rows_mask = None if pair_mask is None else pair_mask.reshape(B * L, 1)
+    logits, new_s = output_mlp_apply(p, s, joint, train, dropout, rng,
+                                     rows_mask=rows_mask)
     return logits.reshape(B, L), new_s
 
 

@@ -60,6 +60,7 @@ def shardings_for_batch(mesh: Mesh) -> Dict[str, NamedSharding]:
         "label_multihots": NamedSharding(mesh, P("dp", "label")),
         "label_embeddings": NamedSharding(mesh, P("label", None)),
         "label_token_counts": NamedSharding(mesh, P("label")),
+        "label_mask": NamedSharding(mesh, P("label")),
         "logits": NamedSharding(mesh, P("dp", "label")),
         "params": NamedSharding(mesh, P()),
     }

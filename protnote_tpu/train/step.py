@@ -50,8 +50,14 @@ def init_train_state(
     }
 
 
-def _pair_mask(example_mask: jnp.ndarray, num_labels: int) -> jnp.ndarray:
-    return jnp.broadcast_to(example_mask[:, None], (example_mask.shape[0], num_labels))
+def _pair_mask(example_mask: jnp.ndarray, num_labels: int,
+               label_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    m = jnp.broadcast_to(
+        example_mask[:, None], (example_mask.shape[0], num_labels)
+    )
+    if label_mask is not None:
+        m = m * label_mask[None, :].astype(m.dtype)
+    return m
 
 
 def make_train_step(
@@ -77,21 +83,23 @@ def make_train_step(
 
     def step(ts, batch, rng):
         rng = jax.random.fold_in(rng, ts["step"])
-        L = batch["label_embeddings"].shape[0]
-        mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1])
+        mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1],
+                          batch.get("label_mask"))
 
         def loss_inner(trainable):
             enc_params = trainable.get("encoder", ts["enc_params"])
             enc_train = train_sequence_encoder or encoder_bn_train_mode
             P_f, enc_state = embed_from_ids(
                 enc_params, ts["enc_state"], batch["aa_ids"], batch["lengths"],
-                pi_cfg, train=enc_train,
+                pi_cfg, train=enc_train, example_mask=batch["example_mask"],
             )
             if not train_sequence_encoder:
                 P_f = jax.lax.stop_gradient(P_f)
             logits, model_state = protnote_forward(
                 trainable["protnote"], ts["model_state"], P_f,
                 batch["label_embeddings"], pn_cfg, train=True, rng=rng,
+                example_mask=batch["example_mask"],
+                label_mask=batch.get("label_mask"),
             )
             loss = loss_fn(logits, batch["label_multihots"], mask=mask)
             return loss, (logits, model_state, enc_state)
@@ -153,7 +161,8 @@ def make_eval_step(
         )
         out = {"logits": logits.astype(jnp.float32)}
         if loss_fn is not None and batch.get("label_multihots") is not None:
-            mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1])
+            mask = _pair_mask(batch["example_mask"], batch["label_multihots"].shape[1],
+                              batch.get("label_mask"))
             out["loss"] = loss_fn(logits, batch["label_multihots"], mask=mask)
         return out
 
@@ -171,4 +180,6 @@ def batch_to_device_dict(batch) -> Dict[str, jnp.ndarray]:
         out["label_embeddings"] = jnp.asarray(batch.label_embeddings)
     if batch.label_multihots is not None:
         out["label_multihots"] = jnp.asarray(batch.label_multihots)
+    if batch.label_mask is not None:
+        out["label_mask"] = jnp.asarray(batch.label_mask, dtype=jnp.float32)
     return out

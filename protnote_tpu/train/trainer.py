@@ -128,7 +128,13 @@ class Trainer:
         config: TrainerConfig,
         train_sequence_encoder: bool = False,
         encoder_bn_train_mode: bool = False,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from protnote_tpu.parallel.mesh import replicated
+
+            train_state = jax.device_put(train_state, replicated(mesh))
         self.ts = train_state
         self.pi_cfg = pi_cfg
         self.pn_cfg = pn_cfg
@@ -148,6 +154,18 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.meter = ThroughputMeter()
         self.wandb = WandbLogger(config.use_wandb, config.run_name)
+
+    def _place(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
+        """Shard one step's arrays over the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return arrays
+        from protnote_tpu.parallel.mesh import replicated, shardings_for_batch
+
+        sh = shardings_for_batch(self.mesh)
+        return {
+            k: jax.device_put(v, sh.get(k, replicated(self.mesh)))
+            for k, v in arrays.items()
+        }
 
     # ---------------- checkpoints ----------------
 
@@ -182,7 +200,7 @@ class Trainer:
         num_labels = batcher.ds.num_labels
 
         for i, batch in enumerate(batcher):
-            arrays = batch_to_device_dict(batch)
+            arrays = self._place(batch_to_device_dict(batch))
             self.ts, metrics = self._train_step(self.ts, arrays, rng_key)
             losses.append(metrics["loss"])
             tp = metrics["tp"] if tp is None else tp + metrics["tp"]
@@ -199,7 +217,11 @@ class Trainer:
 
         out = {"loss": float(jnp.mean(jnp.stack(losses))) if losses else float("nan")}
         if tp is not None:
-            out.update(confusion_metrics(np.asarray(tp), np.asarray(fp), np.asarray(fn)))
+            # [:num_labels] drops padded label columns (mesh label padding)
+            out.update(confusion_metrics(
+                np.asarray(tp)[:num_labels], np.asarray(fp)[:num_labels],
+                np.asarray(fn)[:num_labels],
+            ))
         out.update(self.meter.rates())
         return out
 
@@ -287,17 +309,21 @@ class Trainer:
         self.meter.reset()
 
         for batch in batcher:
-            arrays = batch_to_device_dict(batch)
+            arrays = self._place(batch_to_device_dict(batch))
             out = self._eval_step(self.ts, arrays)
             logits = np.asarray(out["logits"])
             if "loss" in out:
                 losses.append(float(out["loss"]))
             keep = batch.example_mask
             logits = logits[keep]
+            if batch.label_mask is not None:
+                logits = logits[:, batch.label_mask]
             labels = (
                 batch.label_multihots[keep]
                 if batch.label_multihots is not None else None
             )
+            if labels is not None and batch.label_mask is not None:
+                labels = labels[:, batch.label_mask]
             ids = [s for s, k in zip(batch.sequence_ids, keep) if k]
 
             if normalize_probabilities and parenthood is not None:
@@ -373,14 +399,15 @@ class Trainer:
             return jax.lax.map(per_thr, thr)
 
         for batch in batcher:
-            arrays = batch_to_device_dict(batch)
+            arrays = self._place(batch_to_device_dict(batch))
             out = self._eval_step(self.ts, arrays)
             btp, bfp, bfn = count(
                 out["logits"], arrays["label_multihots"], arrays["example_mask"]
             )
-            tp += np.asarray(btp)
-            fp += np.asarray(bfp)
-            fn += np.asarray(bfn)
+            # drop padded label columns (mesh label-axis padding)
+            tp += np.asarray(btp)[:, :num_labels]
+            fp += np.asarray(bfp)[:, :num_labels]
+            fn += np.asarray(bfn)[:, :num_labels]
 
         name = self.cfg.decision_th_metric_name
         scores = []

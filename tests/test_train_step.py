@@ -116,6 +116,78 @@ def test_sharded_matches_replicated(setup, rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_label_padding_mask_equivalence(setup, rng):
+    """Padding the label axis (for mesh divisibility) with masked slots must
+    not change loss or gradients vs the unpadded batch."""
+    ts, tx, loss_fn = setup
+    step = make_train_step(PI, PN, loss_fn, tx, donate=False)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(1)
+    ts_ref, m_ref = step(ts, batch, key)
+
+    pad = 8
+    padded = dict(batch)
+    padded["label_embeddings"] = jnp.pad(batch["label_embeddings"], ((0, pad), (0, 0)))
+    padded["label_multihots"] = jnp.pad(batch["label_multihots"], ((0, 0), (0, pad)))
+    padded["label_mask"] = jnp.concatenate(
+        [jnp.ones(L, jnp.float32), jnp.zeros(pad, jnp.float32)]
+    )
+    ts_pad, m_pad = step(ts, padded, key)
+    assert abs(float(m_ref["loss"]) - float(m_pad["loss"])) < 1e-5
+    a = np.asarray(ts_ref["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
+    b = np.asarray(ts_pad["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+    # padded label columns accumulate no confusion counts
+    assert np.asarray(m_pad["tp"])[L:].sum() == 0
+    assert np.asarray(m_pad["fp"])[L:].sum() == 0
+
+    # sharded over (dp=2, label=4) with the padded batch
+    mesh = make_mesh(MeshSpec(dp=2, label=4))
+    sh = shardings_for_batch(mesh)
+    ts_sh = jax.device_put(ts, replicated(mesh))
+    batch_sh = {k: jax.device_put(v, sh[k]) for k, v in padded.items()}
+    _, m_sh = step(ts_sh, batch_sh, key)
+    assert abs(float(m_ref["loss"]) - float(m_sh["loss"])) < 1e-5
+
+
+def test_batcher_label_padding(rng):
+    """BucketBatcher pads the label axis to the requested multiple."""
+    import tempfile
+
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.fasta import save_to_fasta
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.models.label_encoder import HashLabelEncoder
+
+    tmp = tempfile.mkdtemp()
+    labels = [f"GO:{i:07d}" for i in range(10)]
+    recs = []
+    for i in range(6):
+        seq = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 30))
+        recs.append((seq, f"S{i}", [labels[i % 10]]))
+    save_to_fasta(recs, f"{tmp}/x.fasta")
+    enc = HashLabelEncoder(dim=16)
+    ids, dts, txts = [], [], []
+    for g in labels:
+        for dt in ("name", "label"):
+            ids.append(g), dts.append(dt), txts.append(f"{dt} {g}")
+    emb = enc.embed(txts)
+    LabelEmbeddingCache.save(f"{tmp}/c.npz", emb, ids, dts, txts, enc.token_counts(txts))
+    cache = LabelEmbeddingCache.load(f"{tmp}/c.npz")
+    ds = ProteinDataset(
+        f"{tmp}/x.fasta",
+        DatasetConfig(dataset_type="test", inference_descriptions_per_label=2),
+        label_embedding_cache=cache,
+    )
+    # vocab comes from the data itself: 6 distinct labels -> padded to 8
+    b = next(iter(BucketBatcher(ds, 4, buckets=(64,), label_pad_multiple=8,
+                                descriptions_per_label=2)))
+    assert b.label_multihots.shape[1] == 8
+    assert b.label_embeddings.shape[0] == 16      # 8 label slots x k=2
+    assert b.label_mask.sum() == 6
+
+
 def test_checkpoint_roundtrip(setup, rng, tmp_path):
     from protnote_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 
