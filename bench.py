@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--details", action="store_true")
     ap.add_argument("--backend", choices=["auto", "tiled", "pallas"], default="auto")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the full training step instead of inference")
+    ap.add_argument("--remat", action="store_true",
+                    help="train bench with gradient checkpointing")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +84,55 @@ def main():
 
     results = {}
     log("setup done")
+
+    if args.train:
+        import jax.numpy as jnp  # noqa: F811
+
+        from protnote_tpu.train.losses import get_loss_fn
+        from protnote_tpu.train.optim import make_optimizer
+        from protnote_tpu.train.step import init_train_state, make_train_step
+
+        pn_train_cfg = ProtNoteConfig(
+            compute_dtype=jnp.bfloat16, gradient_checkpointing=args.remat,
+        )
+        tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4,
+                             "CLIP_VALUE": 1.0})
+        ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
+        loss_fn = get_loss_fn({"LOSS_FN": "FocalLoss", "FOCAL_LOSS_GAMMA": 2,
+                               "FOCAL_LOSS_ALPHA": -1})
+        step = make_train_step(pi_cfg, pn_train_cfg, loss_fn, tx, donate=True)
+        batch = {
+            "aa_ids": aa_ids,
+            "lengths": lengths,
+            "example_mask": jnp.ones((B,), jnp.float32),
+            "label_embeddings": L_e,
+            "label_multihots": jnp.asarray(
+                (rng.random((B, L)) < 0.01).astype(np.float32)
+            ),
+        }
+        key = jax.random.PRNGKey(0)
+        ts, m = step(ts, batch, key)
+        jax.block_until_ready(m["loss"])
+        log(f"train step compiled; loss={float(m['loss']):.4f}")
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ts, m = step(ts, batch, key)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        seqs_per_sec = B / dt
+        log(f"train step {dt*1e3:.1f} ms -> {seqs_per_sec:.1f} seqs/s")
+        print(json.dumps({
+            "metric": f"train seqs/sec/chip (ProtNote step: B={B} x {L} GO labels,"
+                      f" FocalLoss+Adam{'+remat' if args.remat else ''},"
+                      f" {dev.device_kind}; baseline = per-V100 rate of the"
+                      f" reference 8xV100 run)",
+            "value": round(seqs_per_sec, 2),
+            "unit": "seqs/sec",
+            # reference: 418015 seqs x 46 epochs in ~5 days on 8x V100
+            # (model_card.md:79,109-110) ~= 44.5 seqs/s cluster = 5.56/GPU
+            "vs_baseline": round(seqs_per_sec / 5.56, 2),
+        }))
+        return
 
     # Pair scorer backends (the hot op: per-pair fused MLP over 3072-d)
     tiled = jax.jit(lambda p, l: pair_logits_tiled(folded, p, l, label_tile=512,

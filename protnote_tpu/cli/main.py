@@ -162,10 +162,59 @@ def run(args) -> Dict:
     bce_pos_weight = params.get("BCE_POS_WEIGHT")
     loss_fn = get_loss_fn(params, label_weights=label_weights,
                           label_counts=label_weights, bce_pos_weight=bce_pos_weight)
-    tx = make_optimizer(params)
+
+    # ---------------- trainable label tower (LABEL_ENCODER_NUM_TRAINABLE_LAYERS,
+    # reference models.py:11-50 + ProtNote.py:197-215) ----------------
+    n_text_layers = params.get("LABEL_ENCODER_NUM_TRAINABLE_LAYERS", 0) or 0
+    text_cfg = text_params = lora_params = label_tokens = None
+    trainable_mask_tree = None
+    if n_text_layers > 0:
+        from protnote_tpu.models.label_encoder import JaxLabelEncoder
+        from protnote_tpu.models.text_transformer import init_lora, trainable_mask
+
+        try:
+            encoder = JaxLabelEncoder(
+                params["LABEL_ENCODER_CHECKPOINT"],
+                pooling_method=params["LABEL_EMBEDDING_POOLING_METHOD"],
+            )
+        except Exception as e:
+            raise SystemExit(
+                f"LABEL_ENCODER_NUM_TRAINABLE_LAYERS={n_text_layers} requires the "
+                f"{params['LABEL_ENCODER_CHECKPOINT']!r} weights locally "
+                f"(pre-seed the HF cache in offline environments): {e}"
+            ) from e
+        text_cfg, text_params = encoder.cfg, encoder.params
+        toks = encoder.tokenizer(
+            list(cache.descriptions), padding="longest", truncation=True,
+            max_length=510, return_tensors="np",
+        )
+        label_tokens = (
+            toks["input_ids"].astype(np.int32),
+            toks["attention_mask"].astype(np.int32),
+        )
+        use_lora = params.get("LORA", False)
+        if use_lora:
+            import jax as _jax
+
+            lora_params = init_lora(
+                _jax.random.PRNGKey(seed + 2), text_cfg,
+                rank=params.get("LORA_RANK", 4), last_n_layers=n_text_layers,
+            )
+        else:
+            import jax as _jax
+
+            trainable_mask_tree = {
+                "protnote": _jax.tree_util.tree_map(lambda _: True, pn_params),
+                "text": trainable_mask(text_params, text_cfg, n_text_layers),
+            }
+
+    tx = make_optimizer(params, trainable_mask=trainable_mask_tree)
     ts = init_train_state(
         pn_params, pn_state, pi_params, pi_state, tx,
         train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
+        text_params=text_params,
+        train_label_encoder=(n_text_layers > 0 and lora_params is None),
+        lora_params=lora_params,
     )
 
     # ---------------- mesh ----------------
@@ -194,6 +243,11 @@ def run(args) -> Dict:
         ts, pi_cfg, pn_cfg, loss_fn, tx, tcfg,
         train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
         mesh=mesh,
+        text_cfg=text_cfg,
+        label_tokens=label_tokens,
+        pooling_method=params.get("LABEL_EMBEDDING_POOLING_METHOD", "mean"),
+        lora_alpha=params.get("LORA_ALPHA", 8),
+        lora_rank=params.get("LORA_RANK", 4),
     )
 
     if args.model_file:

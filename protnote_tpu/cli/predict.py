@@ -1,0 +1,169 @@
+"""Pod-scale batched inference (BASELINE.json config[4]): score every
+sequence of a (possibly unlabeled) FASTA against the full label vocabulary,
+label axis sharded across the mesh, streaming float16 logits to sharded
+parquet files so the full-SwissProt output (~570k x 32k) never lives in
+memory at once."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.models.convert import proteinfer_from_tf_pickle
+    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fasta", required=True, help="input sequences (labels optional)")
+    ap.add_argument("--model-file", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--name", default="predict")
+    ap.add_argument("--override", nargs="*", default=None)
+    ap.add_argument("--annotations-path-name", default="GO_ANNOTATIONS_PATH")
+    ap.add_argument("--base-label-embedding-name", default="GO_BASE_LABEL_EMBEDDING_PATH")
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--rows-per-shard", type=int, default=10000)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--mesh-label", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    config, run_name, log = get_setup(
+        config_path=args.config or DEFAULT_CONFIG_PATH,
+        run_name=args.name, overrides=args.override,
+        annotations_path_name=args.annotations_path_name,
+        base_label_embedding_name=args.base_label_embedding_name,
+    )
+    params = config["params"]
+    paths = config["paths_resolved"]
+
+    cache = LabelEmbeddingCache.load(
+        config["LABEL_EMBEDDING_PATH"], config["LABEL_EMBEDDING_INDEX_PATH"]
+    )
+    # full label vocabulary = every distinct id in the cache
+    vocab = sorted(set(cache.ids))
+    ds = ProteinDataset(
+        args.fasta, DatasetConfig.from_params(params, "test"),
+        label_embedding_cache=cache,
+        vocabularies={
+            "amino_acid_vocab": sorted("ACDEFGHIKLMNPQRSTVWY"),
+            "label_vocab": vocab,
+            "sequence_id_vocab": [],
+        },
+    )
+    log.info("%d sequences x %d labels", len(ds), ds.num_labels)
+
+    esp = config.get("embed_sequences_params", {})
+    pi_cfg = ProteInferConfig(
+        input_channels=esp.get("INPUT_CHANNELS", 20),
+        output_channels=esp.get("OUTPUT_CHANNELS", 1100),
+        kernel_size=esp.get("KERNEL_SIZE", 9),
+        dilation_base=esp.get("DILATION_BASE", 3),
+        num_resnet_blocks=esp.get("NUM_RESNET_BLOCKS", 5),
+        bottleneck_factor=esp.get("BOTTLENECK_FACTOR", 0.5),
+        num_labels=esp.get("PROTEINFER_NUM_GO_LABELS", 32102),
+    )
+    pn_cfg = ProtNoteConfig.from_params(
+        params, protein_embedding_dim=pi_cfg.output_channels,
+        label_embedding_dim=cache.dim,
+        inference_descriptions_per_label=len(
+            params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+")
+        ),
+        label_tile=params.get("LABEL_TILE_SIZE", 512),
+        compute_dtype=jnp.bfloat16 if params.get("MIXED_PRECISION", True) else jnp.float32,
+    )
+    pi_weights = paths.get("PROTEINFER_GO_WEIGHTS_PATH")
+    if pi_weights and os.path.exists(pi_weights):
+        pi_params, pi_state = proteinfer_from_tf_pickle(pi_weights, pi_cfg)
+    else:
+        pi_params, pi_state = init_proteinfer(jax.random.PRNGKey(0), pi_cfg)
+    pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
+    tx = make_optimizer(params)
+    ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
+
+    mesh = None
+    mesh_label = args.mesh_label or params.get("MESH_LABEL", 1)
+    if len(jax.devices()) > 1:
+        mesh_label = mesh_label if mesh_label > 1 else len(jax.devices())
+        mesh = make_mesh(MeshSpec(dp=1, label=mesh_label))
+        log.info("label-sharded mesh over %d devices", mesh_label)
+
+    tcfg = TrainerConfig.from_params(params, run_name=run_name)
+    trainer = Trainer(ts, pi_cfg, pn_cfg, loss_fn=None, tx=tx, config=tcfg, mesh=mesh)
+    if args.model_file:
+        trainer.load(args.model_file)
+
+    batcher = BucketBatcher(
+        ds, args.batch_size or params.get("TEST_BATCH_SIZE", 32),
+        buckets=tuple(params.get("SEQUENCE_BUCKETS", (256, 512, 1024, 2048, 4096))),
+        label_pad_multiple=mesh.shape["label"] if mesh is not None else 1,
+        descriptions_per_label=pn_cfg.inference_descriptions_per_label,
+        return_label_multihots=False,
+    )
+
+    out_dir = args.output_dir or paths.get("RESULTS_DIR", "outputs/results")
+    os.makedirs(out_dir, exist_ok=True)
+    import pandas as pd
+
+    from protnote_tpu.train.step import batch_to_device_dict
+
+    shard_rows, shard_ids, shard_no, written = [], [], 0, 0
+    t0 = time.perf_counter()
+
+    def flush():
+        nonlocal shard_rows, shard_ids, shard_no
+        if not shard_rows:
+            return
+        df = pd.DataFrame(
+            np.concatenate(shard_rows).astype(np.float32), columns=vocab,
+            index=shard_ids,
+        )
+        path = os.path.join(out_dir, f"predict_logits_{run_name}_{shard_no:05d}.parquet")
+        df.to_parquet(path)
+        logger.info("wrote %s (%d rows)", path, len(df))
+        shard_rows, shard_ids = [], []
+        shard_no += 1
+
+    for batch in batcher:
+        arrays = trainer._place(batch_to_device_dict(batch), batch)
+        out = trainer._eval_step(trainer.ts, arrays)
+        logits = np.asarray(out["logits"])
+        keep = batch.example_mask
+        logits = logits[keep]
+        if batch.label_mask is not None:
+            logits = logits[:, batch.label_mask]
+        shard_rows.append(logits.astype(np.float16))
+        shard_ids.extend([s for s, k in zip(batch.sequence_ids, keep) if k])
+        written += int(keep.sum())
+        if sum(len(x) for x in shard_rows) >= args.rows_per_shard:
+            flush()
+    flush()
+    dt = time.perf_counter() - t0
+    log.info("scored %d sequences in %.1fs (%.1f seqs/s, %.3g pair-scores/s)",
+             written, dt, written / dt, written * ds.num_labels / dt)
+    print(json.dumps({"sequences": written, "labels": ds.num_labels,
+                      "seconds": round(dt, 1), "seqs_per_sec": round(written / dt, 2)}))
+
+
+if __name__ == "__main__":
+    main()

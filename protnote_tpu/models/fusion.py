@@ -61,6 +61,7 @@ class ProtNoteConfig:
     label_tile: int = 512
     compute_dtype: Any = jnp.float32
     pair_backend: str = "auto"  # auto | dense | tiled | pallas
+    gradient_checkpointing: bool = False
 
     @property
     def output_mlp_hidden_dim(self) -> int:
@@ -103,6 +104,7 @@ class ProtNoteConfig:
             dropout=params.get("OUTPUT_MLP_DROPOUT", 0.0),
             sequence_embedding_dropout=params.get("SEQUENCE_EMBEDDING_DROPOUT", 0.0),
             label_embedding_dropout=params.get("LABEL_EMBEDDING_DROPOUT", 0.0),
+            gradient_checkpointing=params.get("GRADIENT_CHECKPOINTING", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -276,12 +278,13 @@ def protnote_forward(
         L_f = noise_label_embeddings(L_f, cfg.label_embedding_noising_alpha, rng_noise)
 
     P_e, wp_s = projection_head_apply(
-        params["W_p"], state["W_p"], sequence_embeddings, cfg, train,
+        params["W_p"], state["W_p"], sequence_embeddings.astype(cfg.compute_dtype),
+        cfg, train,
         input_dropout=cfg.sequence_embedding_dropout, rng=rng_p,
         rows_mask=None if example_mask is None else example_mask[:, None],
     )
     L_e, wl_s = projection_head_apply(
-        params["W_l"], state["W_l"], L_f, cfg, train,
+        params["W_l"], state["W_l"], L_f.astype(cfg.compute_dtype), cfg, train,
         input_dropout=cfg.label_embedding_dropout, rng=rng_l,
         rows_mask=None if label_mask is None else label_mask[:, None],
     )
@@ -309,9 +312,13 @@ def protnote_forward(
                     else jnp.ones(L_e.shape[0], P_e.dtype)
                 )
                 pair_mask = em[:, None] * lm[None, :]
+            # AMP-style: pair GEMMs in compute_dtype (bf16), BN stats in f32
             logits, om_s = pair_logits_dense(
-                params["output_mlp"], om_state, P_e, L_e, cfg.feature_fusion,
+                params["output_mlp"], om_state,
+                P_e.astype(cfg.compute_dtype), L_e.astype(cfg.compute_dtype),
+                cfg.feature_fusion,
                 train=train, dropout=cfg.dropout, rng=rng_o, pair_mask=pair_mask,
+                remat=cfg.gradient_checkpointing,
             )
             if om_s is not None:
                 new_state["output_mlp"] = om_s

@@ -8,10 +8,16 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import optax
 
 
-def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformation:
+def make_optimizer(params_cfg: Dict[str, Any],
+                   trainable_mask=None) -> optax.GradientTransformation:
+    """``trainable_mask``: optional bool pytree (matching the trainable tree)
+    that freezes unmasked leaves — the per-parameter freezing policy of the
+    reference _set_optimizer (ProtNoteTrainer.py:199-245) expressed as an
+    optax partition."""
     name = params_cfg.get("OPTIMIZER", "Adam")
     lr = params_cfg.get("LEARNING_RATE", 3e-4)
     wd = params_cfg.get("WEIGHT_DECAY", 0.0)
@@ -26,6 +32,14 @@ def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformation:
         base = optax.sgd(lr, momentum=0.9)
     else:
         raise ValueError(f"Unknown optimizer {name}")
+
+    if trainable_mask is not None:
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask
+        )
+        base = optax.multi_transform(
+            {"train": base, "freeze": optax.set_to_zero()}, labels
+        )
 
     chain = []
     if clip is not None:

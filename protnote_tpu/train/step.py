@@ -36,15 +36,28 @@ def init_train_state(
     enc_state: Params,
     tx: optax.GradientTransformation,
     train_sequence_encoder: bool = False,
+    text_params: Optional[Params] = None,
+    train_label_encoder: bool = False,
+    lora_params: Optional[Params] = None,
 ) -> Dict[str, Any]:
+    """``text_params``: frozen-or-trainable label-tower parameters
+    (models/text_transformer.py); with ``train_label_encoder`` they join the
+    trainable tree (pair with an optax.masked last-n-layers policy), and
+    ``lora_params`` adds always-trainable adapters (reference LoRA wiring,
+    models.py:11-50)."""
     trainable = {"protnote": pn_params}
     if train_sequence_encoder:
         trainable["encoder"] = enc_params
+    if text_params is not None and train_label_encoder:
+        trainable["text"] = text_params
+    if lora_params is not None:
+        trainable["lora"] = lora_params
     return {
         "trainable": trainable,
         "model_state": pn_state,
         "enc_params": None if train_sequence_encoder else enc_params,
         "enc_state": enc_state,
+        "text_params": None if (text_params is None or train_label_encoder) else text_params,
         "opt_state": tx.init(trainable),
         "step": jnp.zeros((), jnp.int32),
     }
@@ -69,11 +82,19 @@ def make_train_step(
     encoder_bn_train_mode: bool = False,
     decision_threshold: float = 0.5,
     donate: bool = True,
+    text_cfg=None,
+    pooling_method: str = "mean",
+    lora_alpha: float = 8.0,
+    lora_rank: int = 4,
 ):
     """Returns jitted ``(train_state, batch, rng) -> (train_state, metrics)``.
 
     ``batch``: dict with aa_ids (B,T) int, lengths (B,), example_mask (B,),
-    label_embeddings (L,D), label_multihots (B,L).
+    label_embeddings (L,D), label_multihots (B,L).  With ``text_cfg`` set and
+    ``label_input_ids``/``label_attention_mask`` in the batch, label
+    embeddings are computed on the fly through the JAX text tower (the
+    reference trainable-label-encoder path, ProtNote.py:197-215) — gradients
+    flow into ``trainable["text"]`` and/or ``trainable["lora"]``.
 
     ``encoder_bn_train_mode=True`` reproduces the reference quirk of running
     the frozen encoder's BatchNorm on batch statistics during training
@@ -95,9 +116,31 @@ def make_train_step(
             )
             if not train_sequence_encoder:
                 P_f = jax.lax.stop_gradient(P_f)
+
+            if text_cfg is not None and "label_input_ids" in batch:
+                from protnote_tpu.models.text_transformer import (
+                    pool_hidden_states_jnp,
+                    text_encoder_forward,
+                )
+
+                text_params = trainable.get("text", ts["text_params"])
+                hidden = text_encoder_forward(
+                    text_params, batch["label_input_ids"],
+                    batch["label_attention_mask"], text_cfg,
+                    lora=trainable.get("lora"),
+                    lora_alpha=lora_alpha, lora_rank=lora_rank,
+                )
+                label_embeddings = pool_hidden_states_jnp(
+                    hidden, batch["label_attention_mask"], pooling_method
+                )
+                if "text" not in trainable and "lora" not in trainable:
+                    label_embeddings = jax.lax.stop_gradient(label_embeddings)
+            else:
+                label_embeddings = batch["label_embeddings"]
+
             logits, model_state = protnote_forward(
                 trainable["protnote"], ts["model_state"], P_f,
-                batch["label_embeddings"], pn_cfg, train=True, rng=rng,
+                label_embeddings, pn_cfg, train=True, rng=rng,
                 example_mask=batch["example_mask"],
                 label_mask=batch.get("label_mask"),
             )
@@ -128,6 +171,7 @@ def make_train_step(
             "enc_params": ts["enc_params"],
             "enc_state": enc_state if (train_sequence_encoder or encoder_bn_train_mode)
             else ts["enc_state"],
+            "text_params": ts.get("text_params"),
             "opt_state": opt_state,
             "step": ts["step"] + 1,
         }
@@ -140,13 +184,19 @@ def make_eval_step(
     pi_cfg: ProteInferConfig,
     pn_cfg: ProtNoteConfig,
     loss_fn: Optional[Callable] = None,
+    text_cfg=None,
+    pooling_method: str = "mean",
+    lora_alpha: float = 8.0,
+    lora_rank: int = 4,
 ):
     """Returns jitted ``(params_bundle, batch) -> outputs``.
 
     ``params_bundle``: dict with trainable/model_state/enc_params/enc_state
     (a train_state works directly).  Outputs: logits (B, L) float32 +
     optional loss.  Runs the folded/tiled inference pair scorer
-    (cfg.pair_backend) with inference-description ensembling.
+    (cfg.pair_backend) with inference-description ensembling.  With
+    ``text_cfg`` + tokenized labels in the batch, label embeddings come from
+    the JAX text tower (on-the-fly zero-shot scoring of unseen label text).
     """
 
     def step(ts, batch):
@@ -155,9 +205,27 @@ def make_eval_step(
             enc_params, ts["enc_state"], batch["aa_ids"], batch["lengths"],
             pi_cfg, train=False,
         )
+        if text_cfg is not None and "label_input_ids" in batch:
+            from protnote_tpu.models.text_transformer import (
+                pool_hidden_states_jnp,
+                text_encoder_forward,
+            )
+
+            text_params = ts["trainable"].get("text", ts["text_params"])
+            hidden = text_encoder_forward(
+                text_params, batch["label_input_ids"],
+                batch["label_attention_mask"], text_cfg,
+                lora=ts["trainable"].get("lora"),
+                lora_alpha=lora_alpha, lora_rank=lora_rank,
+            )
+            label_embeddings = pool_hidden_states_jnp(
+                hidden, batch["label_attention_mask"], pooling_method
+            )
+        else:
+            label_embeddings = batch["label_embeddings"]
         logits, _ = protnote_forward(
             ts["trainable"]["protnote"], ts["model_state"], P_f,
-            batch["label_embeddings"], pn_cfg, train=False,
+            label_embeddings, pn_cfg, train=False,
         )
         out = {"logits": logits.astype(jnp.float32)}
         if loss_fn is not None and batch.get("label_multihots") is not None:

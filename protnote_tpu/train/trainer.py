@@ -129,8 +129,15 @@ class Trainer:
         train_sequence_encoder: bool = False,
         encoder_bn_train_mode: bool = False,
         mesh=None,
+        text_cfg=None,
+        label_tokens: Optional[tuple] = None,  # (ids (M,Tk), attention (M,Tk))
+        pooling_method: str = "mean",
+        lora_alpha: float = 8.0,
+        lora_rank: int = 4,
     ):
         self.mesh = mesh
+        self.text_cfg = text_cfg
+        self.label_tokens = label_tokens
         if mesh is not None:
             from protnote_tpu.parallel.mesh import replicated
 
@@ -146,8 +153,14 @@ class Trainer:
             encoder_bn_train_mode=encoder_bn_train_mode,
             decision_threshold=config.decision_threshold or 0.5,
             donate=True,
+            text_cfg=text_cfg, pooling_method=pooling_method,
+            lora_alpha=lora_alpha, lora_rank=lora_rank,
         )
-        self._eval_step = make_eval_step(pi_cfg, pn_cfg, loss_fn)
+        self._eval_step = make_eval_step(
+            pi_cfg, pn_cfg, loss_fn,
+            text_cfg=text_cfg, pooling_method=pooling_method,
+            lora_alpha=lora_alpha, lora_rank=lora_rank,
+        )
         self.starting_epoch = 0
         self.epoch = 0
         self.best_val_metric = -float("inf")
@@ -155,13 +168,28 @@ class Trainer:
         self.meter = ThroughputMeter()
         self.wandb = WandbLogger(config.use_wandb, config.run_name)
 
-    def _place(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
-        """Shard one step's arrays over the mesh (no-op without a mesh)."""
+    def _place(self, arrays: Dict[str, Any], batch: Optional[Batch] = None
+               ) -> Dict[str, Any]:
+        """Shard one step's arrays over the mesh (no-op without a mesh) and
+        attach tokenized labels when running the on-the-fly text tower."""
+        if (
+            self.text_cfg is not None
+            and self.label_tokens is not None
+            and batch is not None
+            and batch.label_description_indices is not None
+        ):
+            ids, attn = self.label_tokens
+            idx = batch.label_description_indices
+            arrays["label_input_ids"] = jnp.asarray(ids[idx])
+            arrays["label_attention_mask"] = jnp.asarray(attn[idx])
         if self.mesh is None:
             return arrays
         from protnote_tpu.parallel.mesh import replicated, shardings_for_batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = shardings_for_batch(self.mesh)
+        sh = dict(shardings_for_batch(self.mesh))
+        sh["label_input_ids"] = NamedSharding(self.mesh, P("label", None))
+        sh["label_attention_mask"] = NamedSharding(self.mesh, P("label", None))
         return {
             k: jax.device_put(v, sh.get(k, replicated(self.mesh)))
             for k, v in arrays.items()
@@ -200,7 +228,7 @@ class Trainer:
         num_labels = batcher.ds.num_labels
 
         for i, batch in enumerate(batcher):
-            arrays = self._place(batch_to_device_dict(batch))
+            arrays = self._place(batch_to_device_dict(batch), batch)
             self.ts, metrics = self._train_step(self.ts, arrays, rng_key)
             losses.append(metrics["loss"])
             tp = metrics["tp"] if tp is None else tp + metrics["tp"]
@@ -309,7 +337,7 @@ class Trainer:
         self.meter.reset()
 
         for batch in batcher:
-            arrays = self._place(batch_to_device_dict(batch))
+            arrays = self._place(batch_to_device_dict(batch), batch)
             out = self._eval_step(self.ts, arrays)
             logits = np.asarray(out["logits"])
             if "loss" in out:
@@ -399,7 +427,7 @@ class Trainer:
             return jax.lax.map(per_thr, thr)
 
         for batch in batcher:
-            arrays = self._place(batch_to_device_dict(batch))
+            arrays = self._place(batch_to_device_dict(batch), batch)
             out = self._eval_step(self.ts, arrays)
             btp, bfp, bfn = count(
                 out["logits"], arrays["label_multihots"], arrays["example_mask"]
