@@ -33,6 +33,8 @@ def main():
                     help="benchmark the full training step instead of inference")
     ap.add_argument("--remat", action="store_true",
                     help="train bench with gradient checkpointing")
+    ap.add_argument("--stream", type=int, default=0, metavar="TILE",
+                    help="train bench with the streamed exact-BN scorer")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +96,7 @@ def main():
 
         pn_train_cfg = ProtNoteConfig(
             compute_dtype=jnp.bfloat16, gradient_checkpointing=args.remat,
+            train_label_tile=args.stream,
         )
         tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4,
                              "CLIP_VALUE": 1.0})
@@ -123,7 +126,8 @@ def main():
         log(f"train step {dt*1e3:.1f} ms -> {seqs_per_sec:.1f} seqs/s")
         print(json.dumps({
             "metric": f"train seqs/sec/chip (ProtNote step: B={B} x {L} GO labels,"
-                      f" FocalLoss+Adam{'+remat' if args.remat else ''},"
+                      f" FocalLoss+Adam{'+remat' if args.remat else ''}"
+                      f"{f'+stream{args.stream}' if args.stream else ''},"
                       f" {dev.device_kind}; baseline = per-V100 rate of the"
                       f" reference 8xV100 run)",
             "value": round(seqs_per_sec, 2),

@@ -47,6 +47,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--save-val-test-metrics", action="store_true")
     ap.add_argument("--save-val-test-metrics-file", default="val_test_metrics.json")
     ap.add_argument("--use-wandb", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write jax.profiler traces here during training")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--only-represented-labels", action="store_true")
     ap.add_argument("--mesh-dp", type=int, default=None)
@@ -237,7 +239,7 @@ def run(args) -> Dict:
     results_dir = config["paths_resolved"].get("RESULTS_DIR", "outputs/results")
     tcfg = TrainerConfig.from_params(
         params, checkpoint_dir=out_dir, run_name=run_name,
-        use_wandb=args.use_wandb,
+        use_wandb=args.use_wandb, profile_dir=args.profile_dir,
     )
     trainer = Trainer(
         ts, pi_cfg, pn_cfg, loss_fn, tx, tcfg,
@@ -332,10 +334,19 @@ def run(args) -> Dict:
             label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
         )
+        parenthood = None
+        if params.get("NORMALIZE_PROBABILITIES"):
+            pl_path = config["paths_resolved"].get("PARENTHOOD_LIB_PATH")
+            if pl_path and os.path.exists(pl_path):
+                with open(pl_path) as fh:
+                    parenthood = json.load(fh)
         res = trainer.evaluate(
             batcher, save_results=args.save_prediction_results,
             output_dir=results_dir, data_split_name=split,
             only_represented_labels=args.only_represented_labels,
+            normalize_probabilities=params.get("NORMALIZE_PROBABILITIES", False),
+            parenthood=parenthood,
+            save_embeddings=args.save_embeddings,
         )
         all_metrics[split] = res["metrics"]
         log.info("%s metrics: %s", split, json.dumps(res["metrics"], default=float))

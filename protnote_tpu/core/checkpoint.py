@@ -65,5 +65,55 @@ def restore_checkpoint(path: str, train_state_template: Dict[str, Any]
         meta_len = int(fh.read(16))
         meta = json.loads(fh.read(meta_len))
         blob = fh.read()
-    ts = serialization.from_bytes(_to_host(train_state_template), blob)
+    stored = serialization.msgpack_restore(blob)
+    ts = _merge_into_template(_to_host(train_state_template), stored, path="")
     return ts, meta
+
+
+def _merge_into_template(template, stored, path: str):
+    """Overlay stored leaves onto the template, tolerating keys that only
+    exist on one side (train-state fields added/removed across versions).
+    Dicts restored from msgpack use string keys for list indices."""
+    if isinstance(template, dict):
+        if not isinstance(stored, dict):
+            raise ValueError(f"checkpoint structure mismatch at {path!r}")
+        out = {}
+        for k, v in template.items():
+            if k in stored:
+                out[k] = _merge_into_template(v, stored[k], f"{path}/{k}")
+            else:
+                out[k] = v  # new field since the checkpoint was written
+        return out
+    if isinstance(template, (list, tuple)):
+        if isinstance(stored, dict):
+            if hasattr(template, "_fields"):
+                # namedtuples (optax states) serialize keyed by field name
+                items = [stored[f] for f in template._fields]
+            else:  # plain sequences serialize as {"0": ..., "1": ...}
+                items = [stored[str(i)] for i in range(len(stored))]
+        else:
+            items = list(stored)
+        if len(items) != len(template):
+            raise ValueError(
+                f"checkpoint sequence length mismatch at {path!r}: "
+                f"{len(items)} vs {len(template)}"
+            )
+        merged = [
+            _merge_into_template(t, v, f"{path}/{i}")
+            for i, (t, v) in enumerate(zip(template, items))
+        ]
+        if isinstance(template, tuple):
+            # namedtuples (optax states) take positional fields
+            if hasattr(template, "_fields"):
+                return type(template)(*merged)
+            return tuple(merged)
+        return merged
+    if template is None:
+        return None if stored is None else stored
+    arr = np.asarray(stored)
+    want = np.asarray(template)
+    if arr.shape != want.shape:
+        raise ValueError(
+            f"checkpoint shape mismatch at {path!r}: {arr.shape} vs {want.shape}"
+        )
+    return arr.astype(want.dtype)

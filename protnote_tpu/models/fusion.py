@@ -62,6 +62,9 @@ class ProtNoteConfig:
     compute_dtype: Any = jnp.float32
     pair_backend: str = "auto"  # auto | dense | tiled | pallas
     gradient_checkpointing: bool = False
+    # >0: train with the streamed exact-BN pair scorer (bounded memory for
+    # any batch size; ops/streaming_train.py), using this label tile size
+    train_label_tile: int = 0
 
     @property
     def output_mlp_hidden_dim(self) -> int:
@@ -105,6 +108,7 @@ class ProtNoteConfig:
             sequence_embedding_dropout=params.get("SEQUENCE_EMBEDDING_DROPOUT", 0.0),
             label_embedding_dropout=params.get("LABEL_EMBEDDING_DROPOUT", 0.0),
             gradient_checkpointing=params.get("GRADIENT_CHECKPOINTING", False),
+            train_label_tile=params.get("TRAIN_STREAMING_LABEL_TILE", 0) or 0,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -298,7 +302,22 @@ def protnote_forward(
         backend = cfg.pair_backend
         if backend == "auto":
             backend = "dense" if train else "tiled"
-        if train or backend == "dense":
+        if (
+            train
+            and cfg.train_label_tile > 0
+            and cfg.feature_fusion in ("concatenation", "concatenation_diff")
+            and cfg.dropout == 0.0
+            and om_state is not None
+        ):
+            from protnote_tpu.ops.streaming_train import pair_logits_streaming_train
+
+            logits, om_s = pair_logits_streaming_train(
+                params["output_mlp"], om_state, P_e, L_e, cfg.feature_fusion,
+                example_mask=example_mask, label_mask=label_mask,
+                label_tile=cfg.train_label_tile, compute_dtype=cfg.compute_dtype,
+            )
+            new_state["output_mlp"] = om_s
+        elif train or backend == "dense":
             pair_mask = None
             if train and (example_mask is not None or label_mask is not None):
                 em = (

@@ -1,0 +1,197 @@
+"""Streamed exact-BatchNorm training forward for the pair MLP.
+
+The reference materialises the full (B*L, 2d) joint tensor during training
+(ProtNote.py:112-152) because torch BatchNorm needs statistics over all
+B*L pair rows.  That caps the per-device batch (the reference trains at
+B=8/GPU on 32 GB V100s) and on a 16 GB v5e chip B=32 x 32k labels OOMs even
+with rematerialisation.
+
+This module computes the *exact* same function with bounded memory:
+
+* **Layer-1 BN statistics are analytic.**  The pre-activation is
+  ``pre1[b,l] = a[b] + c[l]`` over the cartesian product of sequences and
+  labels, so over the (masked) product set
+  ``mean = mean_b(a) + mean_l(c)`` and ``var = var_b(a) + var_l(c)`` —
+  no pass over pairs at all.
+* **Layers 2..n statistics stream.**  A ``lax.scan`` over label tiles
+  accumulates per-feature sum/sum-of-squares of each layer's
+  pre-activations (f32), one extra forward GEMM pass per additional layer.
+* **The loss pass streams too**, with ``jax.checkpoint`` per tile so the
+  backward rematerialises tile activations instead of storing them.
+
+Peak residency is O(B * tile * H) instead of O(B * L * H); gradients are
+exact (autodiff flows through the streamed statistics exactly as it would
+through materialised BatchNorm).  Supported: 'concatenation' and
+'concatenation_diff' fusions, arbitrary output-MLP depth, BN on.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from protnote_tpu.models.layers import Params, linear
+from protnote_tpu.ops.pair_scorer import BN_EPS, BN_MOMENTUM
+
+Stats = Tuple[jnp.ndarray, jnp.ndarray]  # (mean, var) per feature
+
+
+def _masked_moments(x: jnp.ndarray, mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-feature (mean, biased var, count) over rows with mask (N,1)."""
+    xf = x.astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(xf * m, axis=0) / n
+    var = jnp.sum((xf - mean) ** 2 * m, axis=0) / n
+    return mean, var, n
+
+
+def _affine(p_bn: Params, mean: jnp.ndarray, var: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    inv = jax.lax.rsqrt(var + BN_EPS) * p_bn["scale"].astype(jnp.float32)
+    shift = p_bn["bias"].astype(jnp.float32) - mean * inv
+    return inv, shift
+
+
+def _update_running(s_bn: Params, mean: jnp.ndarray, var: jnp.ndarray, n) -> Params:
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    return {
+        "mean": (1 - BN_MOMENTUM) * s_bn["mean"] + BN_MOMENTUM * mean.astype(s_bn["mean"].dtype),
+        "var": (1 - BN_MOMENTUM) * s_bn["var"] + BN_MOMENTUM * unbiased.astype(s_bn["var"].dtype),
+    }
+
+
+def pair_logits_streaming_train(
+    p: Params,
+    s: Params,
+    P_e: jnp.ndarray,  # (B, d)
+    L_e: jnp.ndarray,  # (L, d)
+    feature_fusion: str = "concatenation",
+    example_mask: Optional[jnp.ndarray] = None,  # (B,)
+    label_mask: Optional[jnp.ndarray] = None,  # (L,)
+    label_tile: int = 2048,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Params]:
+    """((B, L) logits, new BN state) — exact train-mode BN, streamed.
+
+    Dropout is not supported on this path (the reference default
+    OUTPUT_MLP_DROPOUT is 0, base_config.yaml:39).
+    """
+    if feature_fusion not in ("concatenation", "concatenation_diff"):
+        raise ValueError(f"streaming path does not support {feature_fusion}")
+    B, d = P_e.shape
+    L = L_e.shape[0]
+    em = (jnp.ones(B) if example_mask is None else example_mask).astype(jnp.float32)
+    lm = (jnp.ones(L) if label_mask is None else label_mask).astype(jnp.float32)
+
+    layers = p["layers"]
+    bns = p["bns"]
+    n_layers = len(layers)
+    H = layers[0]["kernel"].shape[1]
+
+    # ---- first layer decomposition --------------------------------------
+    W1 = layers[0]["kernel"].astype(jnp.float32)
+    w1_p, w1_l = W1[:d], W1[d : 2 * d]
+    if feature_fusion == "concatenation_diff":
+        w1_x = W1[2 * d : 3 * d]
+        w1_p = w1_p + w1_x
+        w1_l = w1_l - w1_x
+    b1 = layers[0].get("bias")
+
+    a = jnp.dot(P_e.astype(compute_dtype), w1_p.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    c = jnp.dot(L_e.astype(compute_dtype), w1_l.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    if b1 is not None:
+        c = c + b1.astype(jnp.float32)
+
+    # analytic BN1 statistics over the masked product set
+    mean_a, var_a, n_b = _masked_moments(a, em[:, None])
+    mean_c, var_c, n_l = _masked_moments(c, lm[:, None])
+    mean1 = mean_a + mean_c
+    var1 = var_a + var_c
+    n_pairs = n_b * n_l
+    inv1, shift1 = _affine(bns[0], mean1, var1)
+
+    # pad labels to tile multiple
+    num_tiles = -(-L // label_tile)
+    Lp = num_tiles * label_tile
+    c_p = jnp.pad(c, ((0, Lp - L), (0, 0)))
+    lm_p = jnp.pad(lm, (0, Lp - L))
+
+    row_mask_b = em[:, None]  # (B,1)
+
+    def tile_h1(c_t, lm_t):
+        """relu(bn1(a ⊕ c_t)) -> (B*tile, H) in compute dtype + row mask."""
+        pre = a[:, None, :] + c_t[None, :, :]
+        h = jax.nn.relu(pre * inv1 + shift1)
+        rows = (row_mask_b * lm_t[None, :]).reshape(B * label_tile, 1)
+        return h.reshape(B * label_tile, H).astype(compute_dtype), rows
+
+    # ---- streamed statistics for layers 2..n ----------------------------
+    # affines[i] for i >= 1 are built incrementally; each round adds one.
+    affines: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    new_bns: List[Params] = [ _update_running(s["bns"][0], mean1, var1, n_pairs) ]
+
+    def forward_to(layer_idx, c_t, lm_t):
+        """h after relu(bn(...)) of layer `layer_idx-1`, i.e. the input to
+        layer `layer_idx`'s linear."""
+        h, rows = tile_h1(c_t, lm_t)
+        for i in range(1, layer_idx):
+            z = jnp.dot(h, layers[i]["kernel"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+            if "bias" in layers[i]:
+                z = z + layers[i]["bias"].astype(jnp.float32)
+            inv, shift = affines[i - 1]
+            h = jax.nn.relu(z * inv + shift).astype(compute_dtype)
+        return h, rows
+
+    c_tiles = c_p.reshape(num_tiles, label_tile, -1)
+    lm_tiles = lm_p.reshape(num_tiles, label_tile)
+
+    for li in range(1, n_layers):
+        def stat_tile(carry, xs, li=li):
+            s_sum, s_sq = carry
+            c_t, lm_t = xs
+
+            def inner(c_t, lm_t):
+                h, rows = forward_to(li, c_t, lm_t)
+                z = jnp.dot(h, layers[li]["kernel"].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+                if "bias" in layers[li]:
+                    z = z + layers[li]["bias"].astype(jnp.float32)
+                return (jnp.sum(z * rows, axis=0), jnp.sum(z * z * rows, axis=0))
+
+            ds, dq = jax.checkpoint(inner)(c_t, lm_t)
+            return (s_sum + ds, s_sq + dq), None
+
+        (s_sum, s_sq), _ = jax.lax.scan(
+            stat_tile,
+            (jnp.zeros(layers[li]["kernel"].shape[1], jnp.float32),
+             jnp.zeros(layers[li]["kernel"].shape[1], jnp.float32)),
+            (c_tiles, lm_tiles),
+        )
+        mean_i = s_sum / n_pairs
+        var_i = jnp.maximum(s_sq / n_pairs - mean_i ** 2, 0.0)
+        affines.append(_affine(bns[li], mean_i, var_i))
+        new_bns.append(_update_running(s["bns"][li], mean_i, var_i, n_pairs))
+
+    # ---- final streamed loss pass ----------------------------------------
+    w_out = p["out"]["kernel"][:, 0].astype(jnp.float32)
+    b_out = p["out"]["bias"][0].astype(jnp.float32)
+
+    def logit_tile(_, xs):
+        c_t, lm_t = xs
+
+        def inner(c_t, lm_t):
+            h, _ = forward_to(n_layers, c_t, lm_t)
+            out = jnp.dot(h, w_out.astype(compute_dtype),
+                          preferred_element_type=jnp.float32) + b_out
+            return out.reshape(B, label_tile)
+
+        return None, jax.checkpoint(inner)(c_t, lm_t)
+
+    _, tiles = jax.lax.scan(logit_tile, None, (c_tiles, lm_tiles))
+    logits = jnp.moveaxis(tiles, 0, 1).reshape(B, Lp)[:, :L]
+    return logits, {"bns": new_bns}

@@ -244,6 +244,12 @@ class Trainer:
                 )
 
         out = {"loss": float(jnp.mean(jnp.stack(losses))) if losses else float("nan")}
+        if losses and not np.isfinite(out["loss"]):
+            # fail fast on divergence (the functional analogue of the NaN
+            # checks proposed in SURVEY.md §5.2)
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {self.epoch}: {out['loss']}"
+            )
         if tp is not None:
             # [:num_labels] drops padded label columns (mesh label padding)
             out.update(confusion_metrics(
@@ -319,6 +325,7 @@ class Trainer:
         only_represented_labels: bool = False,
         normalize_probabilities: bool = False,
         parenthood: Optional[Dict] = None,
+        save_embeddings: bool = False,
     ) -> Dict[str, Any]:
         ds = dataset if dataset is not None else batcher.ds
         num_labels = ds.num_labels
@@ -333,12 +340,33 @@ class Trainer:
             map_estimate=self.cfg.estimate_map,
         )
         all_logits, all_labels, all_ids = [], [], []
+        emb_rows, emb_ids = [], []
         losses = []
         self.meter.reset()
 
-        for batch in batcher:
+        if save_embeddings and not hasattr(self, "_embed_step"):
+            from protnote_tpu.models.proteinfer import embed_from_ids
+
+            def _embed(ts, aa_ids, lengths):
+                enc_params = ts["trainable"].get("encoder", ts["enc_params"])
+                emb, _ = embed_from_ids(enc_params, ts["enc_state"], aa_ids,
+                                        lengths, self.pi_cfg)
+                return emb
+
+            self._embed_step = jax.jit(_embed)
+
+        for batch_idx, batch in enumerate(batcher):
             arrays = self._place(batch_to_device_dict(batch), batch)
             out = self._eval_step(self.ts, arrays)
+            # periodic sequence-embedding export (reference exports embeddings
+            # every 100 eval batches, ProtNoteTrainer.py:551-586)
+            if save_embeddings and batch_idx % 100 == 0:
+                emb = np.asarray(
+                    self._embed_step(self.ts, arrays["aa_ids"], arrays["lengths"])
+                )
+                keep0 = batch.example_mask
+                emb_rows.append(emb[keep0].astype(np.float16))
+                emb_ids.extend([s for s, k in zip(batch.sequence_ids, keep0) if k])
             logits = np.asarray(out["logits"])
             if "loss" in out:
                 losses.append(float(out["loss"]))
@@ -378,8 +406,23 @@ class Trainer:
         m = metrics.compute()
         if losses:
             m["loss"] = float(np.mean(losses))
+            if not np.isfinite(m["loss"]):
+                logger.error("non-finite eval loss on %s", data_split_name)
         m.update(self.meter.rates())
         result["metrics"] = m
+
+        if save_embeddings and emb_rows:
+            os.makedirs(output_dir or ".", exist_ok=True)
+            emb_path = os.path.join(
+                output_dir or ".",
+                f"{data_split_name}_sequence_embeddings_{self.cfg.run_name}.npz",
+            )
+            np.savez_compressed(
+                emb_path,
+                embeddings=np.concatenate(emb_rows, axis=0),
+                sequence_ids=np.array(emb_ids),
+            )
+            result["embeddings_path"] = emb_path
 
         if save_results and all_logits:
             results = {

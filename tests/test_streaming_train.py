@@ -1,0 +1,114 @@
+"""Streamed exact-BN pair training == dense materialised training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
+from protnote_tpu.ops.pair_scorer import pair_logits_dense
+from protnote_tpu.ops.streaming_train import pair_logits_streaming_train
+
+CFG = ProtNoteConfig(
+    protein_embedding_dim=20, label_embedding_dim=20, latent_dim=12,
+    projection_head_num_layers=2, output_mlp_num_layers=3,
+    output_mlp_hidden_dim_scale_factor=2,
+)
+B, L, D = 5, 21, 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, state = init_protnote(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    P_e = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    L_e = jnp.asarray(rng.normal(size=(L, D)).astype(np.float32))
+    em = jnp.asarray(np.array([1, 1, 1, 1, 0], np.float32))
+    lm = jnp.asarray((np.arange(L) < 18).astype(np.float32))
+    return params, state, P_e, L_e, em, lm
+
+
+@pytest.mark.parametrize("fusion", ["concatenation", "concatenation_diff"])
+def test_streaming_matches_dense(setup, fusion):
+    params, state, P_e, L_e, em, lm = setup
+    if fusion == "concatenation_diff":
+        import dataclasses
+
+        cfg2 = dataclasses.replace(CFG, feature_fusion=fusion)
+        params, state = init_protnote(jax.random.PRNGKey(3), cfg2)
+    p, s = params["output_mlp"], state["output_mlp"]
+
+    pair_mask = em[:, None] * lm[None, :]
+    dense_logits, dense_s = pair_logits_dense(
+        p, s, P_e, L_e, fusion, train=True, pair_mask=pair_mask
+    )
+    stream_logits, stream_s = pair_logits_streaming_train(
+        p, s, P_e, L_e, fusion, example_mask=em, label_mask=lm,
+        label_tile=8, compute_dtype=jnp.float32,
+    )
+    valid = np.asarray(pair_mask) > 0
+    np.testing.assert_allclose(
+        np.asarray(stream_logits)[valid], np.asarray(dense_logits)[valid],
+        rtol=2e-4, atol=2e-4,
+    )
+    for i in range(len(s["bns"])):
+        np.testing.assert_allclose(
+            np.asarray(stream_s["bns"][i]["mean"]),
+            np.asarray(dense_s["bns"][i]["mean"]), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stream_s["bns"][i]["var"]),
+            np.asarray(dense_s["bns"][i]["var"]), rtol=2e-3, atol=2e-4,
+        )
+
+
+def test_streaming_gradients_match_dense(setup):
+    params, state, P_e, L_e, em, lm = setup
+    p, s = params["output_mlp"], state["output_mlp"]
+    pair_mask = em[:, None] * lm[None, :]
+
+    def loss_dense(p_):
+        lg, _ = pair_logits_dense(p_, s, P_e, L_e, "concatenation", train=True,
+                                  pair_mask=pair_mask)
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    def loss_stream(p_):
+        lg, _ = pair_logits_streaming_train(
+            p_, s, P_e, L_e, "concatenation", example_mask=em, label_mask=lm,
+            label_tile=8, compute_dtype=jnp.float32,
+        )
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g1 = jax.grad(loss_dense)(p)
+    g2 = jax.grad(loss_stream)(p)
+    flat1, _ = ravel_pytree(g1)
+    flat2, _ = ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_via_protnote_forward(setup):
+    """cfg.train_label_tile routes the training forward through the stream."""
+    import dataclasses
+
+    from protnote_tpu.models.fusion import protnote_forward
+
+    params, state, P_e_unused, L_e_unused, em, lm = setup
+    rng = np.random.default_rng(1)
+    P_f = jnp.asarray(rng.normal(size=(B, 20)).astype(np.float32))
+    L_f = jnp.asarray(rng.normal(size=(L, 20)).astype(np.float32))
+    cfg_stream = dataclasses.replace(CFG, train_label_tile=8)
+    lg1, st1 = protnote_forward(params, state, P_f, L_f, CFG, train=True,
+                                example_mask=em, label_mask=lm)
+    lg2, st2 = protnote_forward(params, state, P_f, L_f, cfg_stream, train=True,
+                                example_mask=em, label_mask=lm)
+    valid = (np.asarray(em)[:, None] * np.asarray(lm)[None, :]) > 0
+    np.testing.assert_allclose(np.asarray(lg2)[valid], np.asarray(lg1)[valid],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st2["output_mlp"]["bns"][1]["var"]),
+        np.asarray(st1["output_mlp"]["bns"][1]["var"]), rtol=2e-3, atol=2e-4,
+    )
