@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--labels", type=int, default=32102)
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)

@@ -230,6 +230,9 @@ class Trainer:
         for i, batch in enumerate(batcher):
             arrays = self._place(batch_to_device_dict(batch), batch)
             self.ts, metrics = self._train_step(self.ts, arrays, rng_key)
+            if i == 0 and self.epoch == self.starting_epoch:
+                _log_device_memory()  # reference logs GPU memory after the
+                # first train batch (data.py:50-68, ProtNoteTrainer.py:779-783)
             losses.append(metrics["loss"])
             tp = metrics["tp"] if tp is None else tp + metrics["tp"]
             fp = metrics["fp"] if fp is None else fp + metrics["fp"]
@@ -488,6 +491,24 @@ class Trainer:
         logger.info("optimal threshold %.2f (%s=%.4f)", thresholds[best], name,
                     scores[best])
         return float(thresholds[best]), float(scores[best])
+
+
+def _log_device_memory() -> None:
+    """TPU analogue of the reference's pynvml memory report."""
+    try:
+        for dev in jax.local_devices():
+            stats = dev.memory_stats()
+            if not stats:
+                continue
+            used = stats.get("bytes_in_use", 0)
+            limit = stats.get("bytes_limit", 0)
+            if limit:
+                logger.info(
+                    "%s memory: %.2f / %.2f GB (%.1f%%)", dev.device_kind,
+                    used / 2**30, limit / 2**30, 100.0 * used / limit,
+                )
+    except Exception:  # memory_stats unsupported on some backends
+        pass
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
