@@ -75,14 +75,25 @@ def main():
         if args.details:
             print(f"[{time.time()-t_start:.1f}s] {msg}", file=sys.stderr, flush=True)
 
-    def timeit(fn, *xs, iters=args.iters):
-        out = fn(*xs)
-        jax.block_until_ready(out)
+    # The axon tunnel executes asynchronously and block_until_ready can
+    # return before remote completion; chain iterations through a data
+    # dependency and end with a host readback, subtracting the measured RTT.
+    x_rtt = jnp.ones((8,))
+    float(x_rtt[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(x_rtt[0])
+    rtt = (time.perf_counter() - t0) / 5
+
+    def timeit_chained(step, state, iters=args.iters):
+        """step(state) -> (out_scalar_source, new_state); returns s/iter."""
+        out, state = step(state)
+        float(out.reshape(-1)[0])
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*xs)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+            out, state = step(state)
+        float(out.reshape(-1)[0])
+        return max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
 
     results = {}
     log("setup done")
@@ -115,12 +126,13 @@ def main():
         }
         key = jax.random.PRNGKey(0)
         ts, m = step(ts, batch, key)
-        jax.block_until_ready(m["loss"])
         log(f"train step compiled; loss={float(m['loss']):.4f}")
+        # successive steps are data-dependent through ts; end with a host
+        # readback (block_until_ready is unreliable under the async tunnel)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             ts, m = step(ts, batch, key)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
         seqs_per_sec = B / dt
         log(f"train step {dt*1e3:.1f} ms -> {seqs_per_sec:.1f} seqs/s")
@@ -138,24 +150,41 @@ def main():
         }))
         return
 
-    # Pair scorer backends (the hot op: per-pair fused MLP over 3072-d)
-    tiled = jax.jit(lambda p, l: pair_logits_tiled(folded, p, l, label_tile=512,
-                                                   compute_dtype=jnp.bfloat16))
-    results["tiled"] = timeit(tiled, P_e, L_e)
+    # Pair scorer backends (the hot op: per-pair fused MLP over 3072-d).
+    # Chain each iteration through a data dependency on the previous output.
+    def chain_pair(score_fn):
+        @jax.jit
+        def step(p):
+            out = score_fn(p, L_e)
+            return out, p + 0.0 * out[:, : p.shape[1]]
+
+        return step
+
+    tiled_step = chain_pair(
+        lambda p, l: pair_logits_tiled(folded, p, l, label_tile=512,
+                                       compute_dtype=jnp.bfloat16)
+    )
+    results["tiled"] = timeit_chained(tiled_step, P_e)
     log(f"tiled done: {results['tiled']*1e3:.1f} ms")
 
     if on_tpu and args.backend in ("auto", "pallas"):
         try:
-            pallas = jax.jit(lambda p, l: pair_logits_pallas(
-                folded, p, l, label_tile=256, seq_tile=8))
-            results["pallas"] = timeit(pallas, P_e, L_e)
+            pallas_step = chain_pair(
+                lambda p, l: pair_logits_pallas(folded, p, l,
+                                                label_tile=256, seq_tile=8)
+            )
+            results["pallas"] = timeit_chained(pallas_step, P_e)
         except Exception as e:
             print(f"pallas backend failed: {e}", file=sys.stderr)
         log("pallas done")
 
-    # Encoder forward (dilated CNN over T residues)
-    enc = jax.jit(lambda a, ln: embed_from_ids(pi_params, pi_state, a, ln, pi_cfg)[0])
-    results["encoder"] = timeit(enc, aa_ids, lengths)
+    # Encoder forward (dilated CNN over T residues), chained via lengths.
+    @jax.jit
+    def enc_step(ln):
+        emb = embed_from_ids(pi_params, pi_state, aa_ids, ln, pi_cfg)[0]
+        return emb, ln + (0.0 * emb[0, 0]).astype(ln.dtype)
+
+    results["encoder"] = timeit_chained(enc_step, lengths)
     log("encoder done")
 
     best_name = min((k for k in results if k != "encoder"), key=results.get)

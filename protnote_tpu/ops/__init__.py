@@ -7,3 +7,4 @@ from protnote_tpu.ops.pair_scorer import (
     pair_logits_tiled,
     similarity_logits,
 )
+from protnote_tpu.ops.streaming_train import pair_logits_streaming_train

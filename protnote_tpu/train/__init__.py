@@ -9,3 +9,11 @@ from protnote_tpu.train.losses import (
     supcon_loss,
     get_loss_fn,
 )
+from protnote_tpu.train.optim import make_optimizer
+from protnote_tpu.train.step import (
+    batch_to_device_dict,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from protnote_tpu.train.trainer import Trainer, TrainerConfig

@@ -1,0 +1,68 @@
+"""GridBatcher: cartesian (sequence batch x label tile) training batches
+(reference GridBatchSampler, samplers.py:127-224)."""
+
+import numpy as np
+
+from protnote_tpu.data.batching import BucketBatcher, GridBatcher
+from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+from protnote_tpu.data.fasta import save_to_fasta
+from protnote_tpu.data.label_cache import LabelEmbeddingCache
+from protnote_tpu.models.label_encoder import HashLabelEncoder
+
+
+def _dataset(tmp_path, rng, n_labels=10, n_seqs=12):
+    labels = [f"GO:{i:07d}" for i in range(n_labels)]
+    recs = []
+    for i in range(n_seqs):
+        seq = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 30))
+        recs.append((seq, f"S{i}", list(rng.choice(labels, 2, replace=False))))
+    save_to_fasta(recs, str(tmp_path / "g.fasta"))
+    enc = HashLabelEncoder(dim=16)
+    ids, dts, txts = [], [], []
+    for g in labels:
+        ids.append(g), dts.append("name"), txts.append(f"name {g}")
+    emb = enc.embed(txts)
+    LabelEmbeddingCache.save(str(tmp_path / "c.npz"), emb, ids, dts, txts,
+                             enc.token_counts(txts))
+    cache = LabelEmbeddingCache.load(str(tmp_path / "c.npz"))
+    return ProteinDataset(
+        str(tmp_path / "g.fasta"),
+        DatasetConfig(dataset_type="train",
+                      label_augmentation_descriptions=("name",)),
+        label_embedding_cache=cache,
+    )
+
+
+def test_grid_batcher_tiles(tmp_path, rng):
+    ds = _dataset(tmp_path, rng)
+    L = ds.num_labels
+    inner = BucketBatcher(ds, batch_size=4, buckets=(64,), shuffle=True,
+                          drop_last=True, seed=0)
+    grid = GridBatcher(inner, labels_batch_size=4, shuffle_grid=True)
+    assert len(grid) == len(inner) * -(-L // 4)
+
+    seen_tiles = set()
+    count = 0
+    for b in grid:
+        count += 1
+        assert b.label_embeddings.shape[0] == 4  # static tile size
+        assert b.label_multihots.shape == (4, 4)
+        seen_tiles.add(tuple(b.label_indices.tolist()))
+        # multihots correspond to the tile's label columns
+        assert b.label_multihots.max() <= 1
+    assert count == len(grid)
+    # every label index appears in some tile
+    covered = {i for t in seen_tiles for i in t}
+    assert covered == set(range(L))
+
+
+def test_grid_batcher_epoch_reshuffle(tmp_path, rng):
+    ds = _dataset(tmp_path, rng)
+    inner = BucketBatcher(ds, batch_size=4, buckets=(64,), shuffle=True,
+                          drop_last=True, seed=0)
+    grid = GridBatcher(inner, labels_batch_size=4)
+    grid.set_epoch(0)
+    ids0 = [tuple(b.sequence_ids) for b in grid]
+    grid.set_epoch(1)
+    ids1 = [tuple(b.sequence_ids) for b in grid]
+    assert ids0 != ids1  # epoch-seeded reshuffle (reference set_epoch contract)
