@@ -298,6 +298,11 @@ def run(args) -> Dict:
             sample = params.get("TRAIN_LABEL_SAMPLE_SIZE")
             if not sample:
                 raise SystemExit("GRID_SAMPLER requires TRAIN_LABEL_SAMPLE_SIZE")
+            if label_pad > 1 and sample % label_pad:
+                raise SystemExit(
+                    "GRID_SAMPLER with a label-sharded mesh requires "
+                    f"TRAIN_LABEL_SAMPLE_SIZE divisible by {label_pad}"
+                )
             train_batcher = GridBatcher(train_batcher, labels_batch_size=sample)
         val_batcher = None
         if "validation" in datasets:

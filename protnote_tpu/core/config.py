@@ -61,7 +61,15 @@ def load_config(path: os.PathLike | str = DEFAULT_CONFIG_PATH) -> Config:
 
 
 def _coerce(value: str) -> Any:
-    """Best-effort literal coercion, like the reference override parser."""
+    """Best-effort literal coercion, like the reference override parser,
+    plus YAML-style null/true/false so config values round-trip."""
+    lowered = value.strip().lower()
+    if lowered in ("null", "none", "~"):
+        return None
+    if lowered == "true":
+        return True
+    if lowered == "false":
+        return False
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):

@@ -100,6 +100,7 @@ class ProtNoteConfig:
                 sigmoid_bias_from_prob(bias_prob) if bias_prob is not None else None
             ),
             feature_fusion=params.get("FEATURE_FUSION", "concatenation"),
+            temperature=params.get("SUPCON_TEMP", 0.07),
             label_embedding_pooling_method=params.get(
                 "LABEL_EMBEDDING_POOLING_METHOD", "mean"
             ),
