@@ -393,6 +393,7 @@ class Trainer:
                 )
             else:
                 probs = _sigmoid(logits)
+            full_labels = labels  # exported labels keep the full vocabulary
             if represented is not None:
                 probs = probs[:, represented]
                 labels = labels[:, represented] if labels is not None else None
@@ -401,8 +402,8 @@ class Trainer:
             self.meter.add(len(ids), num_labels)
             if save_results:
                 all_logits.append(logits.astype(np.float16))
-                if labels is not None:
-                    all_labels.append(labels)
+                if full_labels is not None:
+                    all_labels.append(full_labels)
                 all_ids.extend(ids)
 
         result: Dict[str, Any] = {}
