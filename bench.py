@@ -55,13 +55,18 @@ def main():
 
     pi_cfg = ProteInferConfig()  # full-size: 1100 channels, 5 blocks
     pn_cfg = ProtNoteConfig(compute_dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    pi_params, pi_state = init_proteinfer(key, pi_cfg)
-    pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
-    folded = fold_output_mlp(
-        pn_params["output_mlp"], pn_state["output_mlp"], "concatenation",
-        pn_cfg.latent_dim, dtype=jnp.bfloat16,
-    )
+    # Initialize parameters on the host CPU backend: dispatching dozens of
+    # tiny PRNG programs over the TPU tunnel is latency-bound; one bulk
+    # transfer at first use is far cheaper.
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        key = jax.random.PRNGKey(0)
+        pi_params, pi_state = init_proteinfer(key, pi_cfg)
+        pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
+        folded = fold_output_mlp(
+            pn_params["output_mlp"], pn_state["output_mlp"], "concatenation",
+            pn_cfg.latent_dim, dtype=jnp.bfloat16,
+        )
 
     rng = np.random.default_rng(0)
     aa_ids = jnp.asarray(rng.integers(0, 20, (B, T)).astype(np.int8))
