@@ -1,0 +1,282 @@
+"""One-command parity gate against real reference artifacts.
+
+Zero-egress development means the real ProteInfer TF pickles, published
+ProtNote ``.pt`` checkpoints, SwissProt FASTAs, and label-embedding caches
+have never flowed through the converters (VERDICT r1 missing #2).  This CLI
+stands ready for the moment they appear: given any subset of those artifacts
+it runs every check that subset allows and writes a machine-readable
+``PARITY_RESULTS.json``.
+
+Checks (each gated on its inputs):
+
+1. **TF pickle conversion** — name-based variable matching
+   (models/convert.py:_order_tf_values_by_name; producer schema:
+   /root/reference/bin/export_proteinfer.py:33-42), reporting which strategy
+   succeeded and every parameter shape.
+2. **Encoder invariants** — finite embeddings and padding invariance
+   (masked convs must make right-padding a no-op, reference
+   protein_encoders.py:8-17).
+3. **ProtNote checkpoint load** — reference ``.pt`` → pytrees
+   (models/convert.py:load_reference_checkpoint), logits finite, batch-size
+   invariance.
+4. **mAP vs published numbers** — full evaluation over a real test FASTA +
+   label-embedding cache; compares micro/macro mAP to the expected values
+   (BASELINE.md: ProtNote supervised GO test micro 0.9042 ± 0.0013, macro
+   0.6019 ± 0.0010, Results.ipynb cell 42).
+
+Usage:
+  python -m protnote_tpu.cli.check_parity \
+      --proteinfer-pickle GO_model_weights.pkl \
+      --protnote-checkpoint seed_replicates_v9_12_sum_last_epoch.pt \
+      --test-fasta test_GO.fasta --label-embeddings cache.npz \
+      --expected-map-micro 0.9042 --expected-map-macro 0.6019
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="parity gate vs reference artifacts")
+    ap.add_argument("--proteinfer-pickle", default=None,
+                    help="reference TF1 ProteInfer weight pickle")
+    ap.add_argument("--protnote-checkpoint", default=None,
+                    help="reference ProtNote .pt checkpoint")
+    ap.add_argument("--test-fasta", default=None,
+                    help="real test-set FASTA (e.g. test_GO.fasta)")
+    ap.add_argument("--label-embeddings", default=None,
+                    help="label-embedding cache .npz (+ parquet index)")
+    ap.add_argument("--expected-map-micro", type=float, default=0.9042)
+    ap.add_argument("--expected-map-macro", type=float, default=0.6019)
+    ap.add_argument("--tolerance", type=float, default=0.01,
+                    help="absolute mAP tolerance vs expected")
+    ap.add_argument("--max-seqs", type=int, default=None,
+                    help="evaluate only the first N sequences (smoke mode)")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--decision-threshold", type=float, default=0.5)
+    ap.add_argument("--output", default="PARITY_RESULTS.json")
+    return ap
+
+
+def _check_pickle(path: str, results: Dict) -> Optional[tuple]:
+    from protnote_tpu.models.convert import proteinfer_from_tf_pickle
+    from protnote_tpu.models.proteinfer import ProteInferConfig
+
+    cfg = ProteInferConfig()
+    entry: Dict = {"path": path}
+    try:
+        params, state = proteinfer_from_tf_pickle(path, cfg, strategy="name")
+        entry["strategy"] = "name"
+    except Exception as e:
+        entry["name_strategy_error"] = str(e)
+        try:
+            params, state = proteinfer_from_tf_pickle(path, cfg, strategy="positional")
+            entry["strategy"] = "positional"
+        except Exception as e2:
+            entry["status"] = "FAIL"
+            entry["error"] = str(e2)
+            results["tf_pickle"] = entry
+            return None
+    entry["num_params"] = int(sum(
+        np.prod(x.shape) for x in _leaves(params)
+    ))
+    entry["status"] = "PASS"
+    results["tf_pickle"] = entry
+    return params, state, cfg
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def _check_encoder_invariants(params, state, cfg, results: Dict) -> None:
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.proteinfer import embed_from_ids
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 96
+    aa = rng.integers(0, 20, (B, T)).astype(np.int8)
+    lengths = np.array([40, 64, 96, 17], np.int32)
+    emb, _ = embed_from_ids(params, state, jnp.asarray(aa),
+                            jnp.asarray(lengths), cfg)
+    emb = np.asarray(emb)
+    entry: Dict = {"embedding_shape": list(emb.shape),
+                   "finite": bool(np.isfinite(emb).all())}
+    # padding invariance: extending the padded tail must not change outputs
+    aa_pad = np.concatenate([aa, rng.integers(0, 20, (B, 32)).astype(np.int8)], 1)
+    emb2, _ = embed_from_ids(params, state, jnp.asarray(aa_pad),
+                             jnp.asarray(lengths), cfg)
+    diff = float(np.max(np.abs(emb - np.asarray(emb2))))
+    entry["padding_invariance_max_diff"] = diff
+    entry["status"] = "PASS" if entry["finite"] and diff < 1e-4 else "FAIL"
+    results["encoder_invariants"] = entry
+
+
+def _check_checkpoint(path: str, enc, results: Dict):
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.convert import load_reference_checkpoint
+    from protnote_tpu.models.fusion import ProtNoteConfig, protnote_forward
+    from protnote_tpu.models.proteinfer import ProteInferConfig, embed_from_ids
+
+    pn_cfg = ProtNoteConfig(compute_dtype=jnp.float32)
+    pi_cfg = ProteInferConfig()
+    entry: Dict = {"path": path}
+    try:
+        params, state, encoder, meta = load_reference_checkpoint(
+            path, pn_cfg, pi_cfg
+        )
+    except Exception as e:
+        entry["status"] = "FAIL"
+        entry["error"] = str(e)
+        results["protnote_checkpoint"] = entry
+        return None
+    entry["epoch"] = meta.get("epoch")
+    if encoder is not None:
+        enc = (*encoder, pi_cfg)
+        entry["embedded_encoder"] = True
+    if enc is None:
+        entry["status"] = "PASS (no encoder available for logit checks)"
+        results["protnote_checkpoint"] = entry
+        return params, state, pn_cfg, None
+    enc_params, enc_state, pi_cfg = enc
+    rng = np.random.default_rng(1)
+    aa = rng.integers(0, 20, (6, 128)).astype(np.int8)
+    lengths = np.full(6, 128, np.int32)
+    L_f = rng.normal(size=(32, pn_cfg.label_embedding_dim)).astype(np.float32)
+    P_f, _ = embed_from_ids(enc_params, enc_state, jnp.asarray(aa),
+                            jnp.asarray(lengths), pi_cfg)
+    logits, _ = protnote_forward(params, state, P_f, jnp.asarray(L_f), pn_cfg)
+    logits = np.asarray(logits)
+    # batch-size invariance (eval BN uses running stats, so it must hold)
+    logits_half, _ = protnote_forward(params, state, P_f[:3], jnp.asarray(L_f),
+                                      pn_cfg)
+    bsz_diff = float(np.max(np.abs(logits[:3] - np.asarray(logits_half))))
+    entry["logits_finite"] = bool(np.isfinite(logits).all())
+    entry["batch_size_invariance_max_diff"] = bsz_diff
+    entry["status"] = (
+        "PASS" if entry["logits_finite"] and bsz_diff < 1e-3 else "FAIL"
+    )
+    results["protnote_checkpoint"] = entry
+    return params, state, pn_cfg, (enc_params, enc_state, pi_cfg)
+
+
+def _check_map(args, model, results: Dict) -> None:
+    import jax.numpy as jnp
+
+    from protnote_tpu.data.batching import BucketBatcher, PrefetchBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+
+    params, state, pn_cfg, enc = model
+    if enc is None:
+        results["map"] = {"status": "SKIP", "reason": "no sequence encoder"}
+        return
+    enc_params, enc_state, pi_cfg = enc
+    cache = LabelEmbeddingCache.load(args.label_embeddings)
+    ds = ProteinDataset(
+        args.test_fasta,
+        DatasetConfig(dataset_type="test",
+                      inference_go_descriptions=("name", "label"),
+                      inference_descriptions_per_label=2),
+        label_embedding_cache=cache,
+    )
+    if args.max_seqs:
+        ds.data = ds.data[: args.max_seqs]
+        ds.encoded = ds.encoded[: args.max_seqs]
+        ds.sequence_ids = ds.sequence_ids[: args.max_seqs]
+        ds.label_id_lists = ds.label_id_lists[: args.max_seqs]
+        ds.lengths = ds.lengths[: args.max_seqs]
+    import dataclasses
+
+    pn_cfg_eval = dataclasses.replace(
+        pn_cfg, inference_descriptions_per_label=2, compute_dtype=jnp.bfloat16
+    )
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4})
+    ts = init_train_state(params, state, enc_params, enc_state, tx)
+    trainer = Trainer(
+        ts, pi_cfg, pn_cfg_eval, loss_fn=None, tx=tx,
+        config=TrainerConfig(decision_threshold=args.decision_threshold,
+                             estimate_map=True),
+    )
+    batcher = PrefetchBatcher(BucketBatcher(
+        ds, args.batch_size, descriptions_per_label=2,
+        device_label_gather=True,
+    ))
+    t0 = time.perf_counter()
+    m = trainer.evaluate(batcher)["metrics"]
+    entry: Dict = {
+        "seconds": round(time.perf_counter() - t0, 1),
+        "sequences": len(ds),
+        "map_micro": m.get("map_micro"),
+        "map_macro": m.get("map_macro"),
+        "f1_micro": m.get("f1_micro"),
+        "expected_map_micro": args.expected_map_micro,
+        "expected_map_macro": args.expected_map_macro,
+        "tolerance": args.tolerance,
+    }
+    ok_micro = abs(m["map_micro"] - args.expected_map_micro) <= args.tolerance
+    ok_macro = abs(m["map_macro"] - args.expected_map_macro) <= args.tolerance
+    if args.max_seqs:
+        entry["status"] = "INFO (subset — not compared to published numbers)"
+    else:
+        entry["status"] = "PASS" if ok_micro and ok_macro else "FAIL"
+    results["map"] = entry
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+    results: Dict = {}
+
+    enc = None
+    if args.proteinfer_pickle:
+        out = _check_pickle(args.proteinfer_pickle, results)
+        if out is not None:
+            enc = out
+            _check_encoder_invariants(*out, results)
+
+    model = None
+    if args.protnote_checkpoint:
+        model = _check_checkpoint(args.protnote_checkpoint, enc, results)
+
+    if args.test_fasta and args.label_embeddings:
+        if model is None:
+            results["map"] = {"status": "SKIP",
+                              "reason": "--protnote-checkpoint required"}
+        else:
+            _check_map(args, model, results)
+
+    if not results:
+        print("nothing to check — pass at least --proteinfer-pickle",
+              file=sys.stderr)
+        return 2
+
+    with open(args.output, "w") as fh:
+        json.dump(results, fh, indent=2, default=float)
+    failed = [k for k, v in results.items()
+              if str(v.get("status", "")).startswith("FAIL")]
+    for k, v in results.items():
+        print(f"{k}: {v.get('status')}")
+    print(f"wrote {args.output}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,10 +53,30 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--only-represented-labels", action="store_true")
     ap.add_argument("--mesh-dp", type=int, default=None)
     ap.add_argument("--mesh-label", type=int, default=None)
+    # multi-host (pod) execution: one process per host, rendezvous via the
+    # coordinator (reference multi-node env:// path, bin/main.py:185-200)
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-host runtime (auto-detect on TPU pods)")
+    ap.add_argument("--coordinator-address", default=None,
+                    help="host:port of process 0 (or JAX_COORDINATOR_ADDRESS)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     return ap
 
 
 def run(args) -> Dict:
+    # must run before any other JAX API touches the devices
+    from protnote_tpu.parallel.distributed import (
+        initialize_distributed, is_main_process,
+    )
+
+    initialize_distributed(
+        getattr(args, "coordinator_address", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+        force=getattr(args, "distributed", False),
+    )
+
     import jax
     import jax.numpy as jnp
 
@@ -234,6 +254,11 @@ def run(args) -> Dict:
         mesh = make_mesh(MeshSpec(dp=mesh_dp, label=mesh_label))
         log.info("mesh: dp=%d label=%d", mesh.shape["dp"], mesh.shape["label"])
     label_pad = mesh.shape["label"] if mesh is not None else 1
+    # Device-resident label embeddings: the view matrix is uploaded once and
+    # per-step batches carry only gather indices (vs the reference collator
+    # shipping the gathered matrix every step, collators.py:100-105).
+    dev_gather = bool(params.get("DEVICE_RESIDENT_LABEL_EMBEDDINGS", True))
+    prefetch_n = int(params.get("PREFETCH_BATCHES", 2) or 0)
 
     out_dir = config["paths_resolved"].get("OUTPUT_MODEL_DIR", "outputs/checkpoints")
     results_dir = config["paths_resolved"].get("RESULTS_DIR", "outputs/results")
@@ -291,6 +316,7 @@ def run(args) -> Dict:
             in_batch_sampling=params.get("IN_BATCH_SAMPLING", False),
             sequence_weights=sequence_weights,
             label_pad_multiple=label_pad,
+            device_label_gather=dev_gather,
         )
         if grid:
             from protnote_tpu.data.batching import GridBatcher
@@ -304,6 +330,10 @@ def run(args) -> Dict:
                     f"TRAIN_LABEL_SAMPLE_SIZE divisible by {label_pad}"
                 )
             train_batcher = GridBatcher(train_batcher, labels_batch_size=sample)
+        if prefetch_n > 0:
+            from protnote_tpu.data.batching import PrefetchBatcher
+
+            train_batcher = PrefetchBatcher(train_batcher, prefetch=prefetch_n)
         val_batcher = None
         if "validation" in datasets:
             val_batcher = BucketBatcher(
@@ -312,6 +342,7 @@ def run(args) -> Dict:
                 label_sample_size=params.get("VALIDATION_LABEL_SAMPLE_SIZE"),
                 label_pad_multiple=label_pad,
                 descriptions_per_label=pn_cfg.inference_descriptions_per_label,
+                device_label_gather=dev_gather,
             )
         summary = trainer.train(train_batcher, val_batcher)
         all_metrics["train_summary"] = {
@@ -326,6 +357,7 @@ def run(args) -> Dict:
             datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
             buckets=buckets, seed=seed, label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
+            device_label_gather=dev_gather,
         )
         threshold, score = trainer.find_optimal_threshold(val_batcher)
         trainer.cfg.decision_threshold = threshold
@@ -338,6 +370,7 @@ def run(args) -> Dict:
             test_ds, params["TEST_BATCH_SIZE"], buckets=buckets, seed=seed,
             label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
+            device_label_gather=dev_gather,
         )
         parenthood = None
         if params.get("NORMALIZE_PROBABILITIES"):
@@ -356,7 +389,7 @@ def run(args) -> Dict:
         all_metrics[split] = res["metrics"]
         log.info("%s metrics: %s", split, json.dumps(res["metrics"], default=float))
 
-    if args.save_val_test_metrics and all_metrics:
+    if args.save_val_test_metrics and all_metrics and is_main_process():
         path = args.save_val_test_metrics_file
         existing = []
         if os.path.exists(path):

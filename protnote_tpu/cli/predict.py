@@ -45,7 +45,20 @@ def main(argv=None):
     ap.add_argument("--rows-per-shard", type=int, default=10000)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--mesh-label", type=int, default=None)
+    # multi-host slice execution (reference multi-node env:// rendezvous,
+    # bin/main.py:185-200); each process writes its own logit-column shards
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--coordinator-address", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    from protnote_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id,
+        force=args.distributed,
+    )
 
     logging.basicConfig(level=logging.INFO)
     config, run_name, log = get_setup(
@@ -119,13 +132,46 @@ def main(argv=None):
         label_pad_multiple=mesh.shape["label"] if mesh is not None else 1,
         descriptions_per_label=pn_cfg.inference_descriptions_per_label,
         return_label_multihots=False,
+        device_label_gather=bool(
+            params.get("DEVICE_RESIDENT_LABEL_EMBEDDINGS", True)
+        ),
     )
+    label_matrix = trainer._label_matrix_for(ds)
+    prefetch_n = int(params.get("PREFETCH_BATCHES", 2) or 0)
+    if prefetch_n > 0:
+        from protnote_tpu.data.batching import PrefetchBatcher
+
+        batcher = PrefetchBatcher(batcher, prefetch=prefetch_n)
 
     out_dir = args.output_dir or paths.get("RESULTS_DIR", "outputs/results")
     os.makedirs(out_dir, exist_ok=True)
     import pandas as pd
 
     from protnote_tpu.train.step import batch_to_device_dict
+
+    multi = jax.process_count() > 1
+    proc_sfx = f"_p{jax.process_index():03d}" if multi else ""
+    local_cols = None  # full-vocab column ids this process owns
+
+    def read_local(x):
+        """Logits readback that works when the array spans multiple hosts:
+        each process extracts the column blocks its devices own (mesh is
+        (dp=1, label=N) here, so every shard holds all rows)."""
+        nonlocal local_cols
+        if not multi:
+            if local_cols is None:
+                local_cols = np.arange(x.shape[1])
+            return np.asarray(x)
+        blocks = {}
+        for s in x.addressable_shards:
+            c0 = s.index[1].start or 0
+            blocks.setdefault(c0, np.asarray(s.data))
+        order = sorted(blocks)
+        if local_cols is None:
+            local_cols = np.concatenate(
+                [np.arange(c, c + blocks[c].shape[1]) for c in order]
+            )
+        return np.concatenate([blocks[c] for c in order], axis=1)
 
     shard_rows, shard_ids, shard_no, written = [], [], 0, 0
     t0 = time.perf_counter()
@@ -134,24 +180,37 @@ def main(argv=None):
         nonlocal shard_rows, shard_ids, shard_no
         if not shard_rows:
             return
+        cols = [vocab[c] for c in col_vocab_ids]
         df = pd.DataFrame(
-            np.concatenate(shard_rows).astype(np.float32), columns=vocab,
+            np.concatenate(shard_rows).astype(np.float32), columns=cols,
             index=shard_ids,
         )
-        path = os.path.join(out_dir, f"predict_logits_{run_name}_{shard_no:05d}.parquet")
+        path = os.path.join(
+            out_dir, f"predict_logits_{run_name}{proc_sfx}_{shard_no:05d}.parquet"
+        )
         df.to_parquet(path)
-        logger.info("wrote %s (%d rows)", path, len(df))
+        logger.info("wrote %s (%d rows x %d labels)", path, len(df), len(cols))
         shard_rows, shard_ids = [], []
         shard_no += 1
 
+    col_vocab_ids = None
     for batch in batcher:
-        arrays = trainer._place(batch_to_device_dict(batch), batch)
+        arrays = trainer._place(batch_to_device_dict(batch), batch,
+                                label_matrix=label_matrix)
         out = trainer._eval_step(trainer.ts, arrays)
-        logits = np.asarray(out["logits"])
+        logits = read_local(out["logits"])
         keep = batch.example_mask
         logits = logits[keep]
-        if batch.label_mask is not None:
-            logits = logits[:, batch.label_mask]
+        if col_vocab_ids is None:
+            # drop padded label columns; map local columns to vocab ids
+            valid = (
+                batch.label_mask[local_cols]
+                if batch.label_mask is not None
+                else np.ones(len(local_cols), bool)
+            )
+            col_keep = np.where(valid)[0]
+            col_vocab_ids = local_cols[col_keep]
+        logits = logits[:, col_keep]
         shard_rows.append(logits.astype(np.float16))
         shard_ids.extend([s for s, k in zip(batch.sequence_ids, keep) if k])
         written += int(keep.sum())

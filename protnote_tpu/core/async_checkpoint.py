@@ -1,0 +1,119 @@
+"""Asynchronous checkpointing.
+
+The round-1 trainer serialized the full train state (params + Adam moments)
+synchronously at every best-metric/best-loss/periodic event, stalling the
+train loop for the whole msgpack encode + disk write (VERDICT r1 weak #9).
+Here only the device→host snapshot is synchronous (it must happen before the
+next donated train step reuses the buffers); serialization and the atomic
+write run on a background thread, and back-to-back saves of the *same* step
+(best-metric + best-loss firing together, reference checkpoint policy
+ProtNoteTrainer.py:329-366) serialize once and write twice.
+
+This is the SURVEY §5.4 orbax-async recommendation implemented directly on
+the existing single-file msgpack format (core/checkpoint.py), keeping the
+atomic-rename contract and the restore path unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import queue
+import tempfile
+import threading
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _snapshot(tree):
+    """Device -> host copy; must complete before donated buffers are reused."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class AsyncCheckpointer:
+    """Serializes and writes checkpoints on a background thread."""
+
+    def __init__(self):
+        self._queue: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._last_blob: Optional[tuple] = None  # (tag, bytes)
+        self._thread = threading.Thread(
+            target=self._worker, daemon=True, name="ckpt-writer"
+        )
+        self._thread.start()
+
+    def save(self, path: str, train_state: Dict[str, Any], epoch: int,
+             best_val_metric: Optional[float] = None,
+             extra: Optional[Dict[str, Any]] = None,
+             dedup_tag: Optional[int] = None) -> None:
+        """Snapshot synchronously, then enqueue the write.
+
+        ``dedup_tag``: saves sharing a tag (e.g. the train step counter)
+        reuse one serialized blob."""
+        host_tree = _snapshot(train_state)
+        meta = {
+            "epoch": int(epoch),
+            "best_val_metric": (
+                None if best_val_metric is None else float(best_val_metric)
+            ),
+            **(extra or {}),
+        }
+        self._queue.put((path, host_tree, meta, dedup_tag))
+
+    def _worker(self) -> None:
+        from flax import serialization
+
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                return
+            path, host_tree, meta, tag = item
+            try:
+                if (
+                    tag is not None
+                    and self._last_blob is not None
+                    and self._last_blob[0] == tag
+                ):
+                    blob = self._last_blob[1]
+                else:
+                    blob = serialization.to_bytes(host_tree)
+                    if tag is not None:
+                        self._last_blob = (tag, blob)
+                meta_blob = json.dumps(meta).encode()
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.dirname(path) or ".", suffix=".tmp"
+                )
+                try:
+                    with os.fdopen(fd, "wb") as fh:
+                        fh.write(b"PNTPU1\n")
+                        fh.write(f"{len(meta_blob):016d}".encode())
+                        fh.write(meta_blob)
+                        fh.write(blob)
+                    os.replace(tmp, path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+            except BaseException as e:  # surfaced on wait()
+                logger.exception("async checkpoint write failed for %s", path)
+                self._errors.append(e)
+            finally:
+                self._queue.task_done()
+
+    def wait(self) -> None:
+        """Block until all queued writes are on disk; re-raise any failure."""
+        self._queue.join()
+        if self._errors:
+            raise self._errors.pop(0)
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=60)
+        if self._errors:
+            raise self._errors.pop(0)

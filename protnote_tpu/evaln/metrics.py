@@ -61,6 +61,36 @@ def average_precision(scores: np.ndarray, targets: np.ndarray) -> float:
     return float(np.sum((recall_d - recall_prev) * prec_d))
 
 
+def average_precision_columns(scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Vectorised per-column AP for a (N, C) block; NaN where no positives.
+
+    Same semantics as :func:`average_precision` (ties grouped, last entry of
+    each tie group counts), but one argsort per block instead of a Python
+    loop per label — the macro-mAP pass over 32k labels runs in bounded
+    column chunks (reference computes this label-by-label through torcheval,
+    ProtNoteTrainer.py:477-489).
+
+    Identity used: AP = sum_i t_i * P_end(group(i)) / n_pos where
+    P_end(group(i)) is the precision at the last index of i's tie group.
+    """
+    N, C = scores.shape
+    order = np.argsort(-scores, axis=0, kind="stable")
+    s = np.take_along_axis(scores, order, axis=0)
+    t = np.take_along_axis(targets, order, axis=0).astype(np.float32)
+    tp = np.cumsum(t, axis=0)
+    fp = np.cumsum(1.0 - t, axis=0)
+    precision = tp / np.maximum(tp + fp, 1.0)
+    n_pos = tp[-1]
+    # index of each row's tie-group end: reverse-min-accumulate of the
+    # distinct-row indices
+    distinct = np.concatenate([s[1:] != s[:-1], np.ones((1, C), bool)], axis=0)
+    idx = np.where(distinct, np.arange(N, dtype=np.int64)[:, None], N)
+    group_end = np.minimum.accumulate(idx[::-1], axis=0)[::-1]
+    pe = np.take_along_axis(precision, group_end, axis=0)
+    ap = (t * pe).sum(axis=0) / np.maximum(n_pos, 1.0)
+    return np.where(n_pos > 0, ap, np.nan)
+
+
 # ----------------------------------------------------------------------
 # Threshold-based confusion counters
 
@@ -75,16 +105,28 @@ class ConfusionAccumulator:
         self.fn = np.zeros(num_labels, dtype=np.int64)
 
     def update(self, probs: np.ndarray, targets: np.ndarray,
-               mask: Optional[np.ndarray] = None) -> None:
+               mask: Optional[np.ndarray] = None,
+               label_indices: Optional[np.ndarray] = None) -> None:
+        """``label_indices``: full-vocabulary column index of each supplied
+        column, for batches scoring a label subset (reference
+        VALIDATION_LABEL_SAMPLE_SIZE / in-batch sampling, collators.py:95-133)."""
         pred = probs > self.threshold
         t = targets.astype(bool)
         if mask is not None:
             keep = mask.astype(bool)
             pred = pred[keep]
             t = t[keep]
-        self.tp += np.sum(pred & t, axis=0)
-        self.fp += np.sum(pred & ~t, axis=0)
-        self.fn += np.sum(~pred & t, axis=0)
+        tp = np.sum(pred & t, axis=0)
+        fp = np.sum(pred & ~t, axis=0)
+        fn = np.sum(~pred & t, axis=0)
+        if label_indices is None:
+            self.tp += tp
+            self.fp += fp
+            self.fn += fn
+        else:
+            np.add.at(self.tp, label_indices, tp)
+            np.add.at(self.fp, label_indices, fp)
+            np.add.at(self.fn, label_indices, fn)
 
     def merge_counts(self, tp: np.ndarray, fp: np.ndarray, fn: np.ndarray) -> None:
         """Fold in counters accumulated on-device (already mesh-reduced)."""
@@ -179,47 +221,97 @@ class SamplewiseAccumulator:
 # Exact streaming AUPRC
 
 
-class ExactAUPRC:
-    """Exact micro/macro mAP; stores float16 score shards on host."""
+def _f16_sort_keys(scores: np.ndarray) -> np.ndarray:
+    """Map float16 values to uint16 keys that sort like the floats.
 
-    def __init__(self, num_labels: int, store_dtype=np.float16):
+    Standard float-radix-sort transform: flip the sign bit for positives,
+    flip all bits for negatives.  AP over the key histogram is then exactly
+    AP over the f16-quantised scores."""
+    bits = np.ascontiguousarray(scores, dtype=np.float16).view(np.uint16)
+    neg = (bits & 0x8000) != 0
+    return np.where(neg, ~bits, bits | 0x8000)
+
+
+def _ap_from_dense_hist(pos: np.ndarray, neg: np.ndarray) -> float:
+    """Exact AP from per-score-value positive/negative counts (bins ordered
+    ascending by score; each bin is one distinct representable value, so tie
+    grouping is inherent)."""
+    # descending threshold: accumulate from the top bin down
+    tp = np.cumsum(pos[::-1], dtype=np.float64)
+    fp = np.cumsum(neg[::-1], dtype=np.float64)
+    n_pos = tp[-1]
+    if n_pos == 0:
+        return float("nan")
+    precision = tp / np.maximum(tp + fp, 1.0)
+    recall = tp / n_pos
+    recall_prev = np.r_[0.0, recall[:-1]]
+    # empty bins contribute 0 (their recall delta is 0)
+    return float(np.sum((recall - recall_prev) * precision))
+
+
+class ExactAUPRC:
+    """Exact micro/macro mAP over float16-quantised scores, at scale.
+
+    * micro: a streaming 65,536-bin histogram over f16 score values — exact
+      AP w.r.t. the stored f16 precision, O(1) memory, no global sort (the
+      previous implementation flat-sorted B·L·steps elements: 1.66e9 at the
+      real 51,751 x 32,102 test set).
+    * macro: float16 score shards kept on host (~3.2 GB at full scale) and a
+      vectorised chunked per-column AP pass (:func:`average_precision_columns`).
+    """
+
+    NUM_KEYS = 1 << 16
+
+    def __init__(self, num_labels: int, store_dtype=np.float16,
+                 macro_chunk: int = 256):
         self.num_labels = num_labels
         self.store_dtype = store_dtype
+        self.macro_chunk = macro_chunk
         self._scores: List[np.ndarray] = []
         self._targets: List[np.ndarray] = []
+        self._micro_pos = np.zeros(self.NUM_KEYS, dtype=np.int64)
+        self._micro_neg = np.zeros(self.NUM_KEYS, dtype=np.int64)
 
     def update(self, probs: np.ndarray, targets: np.ndarray,
-               mask: Optional[np.ndarray] = None) -> None:
+               mask: Optional[np.ndarray] = None,
+               label_indices: Optional[np.ndarray] = None) -> None:
+        if label_indices is not None:
+            raise ValueError(
+                "exact AUPRC cannot accumulate per-batch-varying label "
+                "subsets; use the binned estimator (ESTIMATE_MAP) for "
+                "shuffled/in-batch label sampling"
+            )
         if mask is not None:
             keep = mask.astype(bool)
             probs, targets = probs[keep], targets[keep]
-        self._scores.append(np.asarray(probs, dtype=self.store_dtype))
-        self._targets.append(np.asarray(targets, dtype=bool))
+        scores = np.asarray(probs, dtype=self.store_dtype)
+        t = np.asarray(targets, dtype=bool)
+        self._scores.append(scores)
+        self._targets.append(t)
+        keys = _f16_sort_keys(scores).reshape(-1)
+        flat_t = t.reshape(-1)
+        self._micro_pos += np.bincount(keys[flat_t], minlength=self.NUM_KEYS)
+        self._micro_neg += np.bincount(keys[~flat_t], minlength=self.NUM_KEYS)
 
     def compute(self) -> Dict[str, float]:
         if not self._scores:
             return {"map_micro": float("nan"), "map_macro": float("nan")}
-        scores = np.concatenate(self._scores, axis=0)
-        targets = np.concatenate(self._targets, axis=0)
-        micro = average_precision(
-            scores.reshape(-1).astype(np.float32), targets.reshape(-1)
-        )
-        aps = []
-        for j in range(scores.shape[1]):
-            col_t = targets[:, j]
-            if not col_t.any():
-                continue  # undefined labels excluded from macro mean
-            aps.append(average_precision(scores[:, j].astype(np.float32), col_t))
-        macro = float(np.mean(aps)) if aps else float("nan")
+        micro = _ap_from_dense_hist(self._micro_pos, self._micro_neg)
+        aps = self.per_label()
+        valid = ~np.isnan(aps)
+        macro = float(aps[valid].mean()) if valid.any() else float("nan")
         return {"map_micro": float(micro), "map_macro": macro}
 
     def per_label(self) -> np.ndarray:
         scores = np.concatenate(self._scores, axis=0)
         targets = np.concatenate(self._targets, axis=0)
+        C = scores.shape[1]
         out = np.full(self.num_labels, np.nan)
-        for j in range(scores.shape[1]):
-            if targets[:, j].any():
-                out[j] = average_precision(scores[:, j].astype(np.float32), targets[:, j])
+        for s in range(0, C, self.macro_chunk):
+            e = min(s + self.macro_chunk, C)
+            out[s:e] = average_precision_columns(
+                scores[:, s:e].astype(np.float32), targets[:, s:e]
+            )
         return out
 
 
@@ -265,15 +357,24 @@ class BinnedAUPRC:
         self.neg += np.asarray(neg, dtype=np.int64)
 
     def update(self, probs: np.ndarray, targets: np.ndarray,
-               mask: Optional[np.ndarray] = None) -> None:
+               mask: Optional[np.ndarray] = None,
+               label_indices: Optional[np.ndarray] = None) -> None:
         bins = np.clip((probs * self.num_bins).astype(np.int64), 0, self.num_bins - 1)
         t = targets.astype(bool)
         if mask is not None:
             keep = mask.astype(bool)
             bins, t = bins[keep], t[keep]
-        for j in range(self.num_labels):
-            self.pos[j] += np.bincount(bins[:, j][t[:, j]], minlength=self.num_bins)
-            self.neg[j] += np.bincount(bins[:, j][~t[:, j]], minlength=self.num_bins)
+        cols = (
+            np.arange(bins.shape[1], dtype=np.int64)
+            if label_indices is None else np.asarray(label_indices, np.int64)
+        )
+        # one flat bincount over (label, bin) pairs instead of a 32k-iteration
+        # python loop (the r1 per-batch 2x32,102-bincount hot spot)
+        flat = (cols[None, :] * self.num_bins + bins).reshape(-1)
+        ft = t.reshape(-1)
+        size = self.num_labels * self.num_bins
+        self.pos += np.bincount(flat[ft], minlength=size).reshape(self.pos.shape)
+        self.neg += np.bincount(flat[~ft], minlength=size).reshape(self.neg.shape)
 
     @staticmethod
     def _ap_from_hist(pos: np.ndarray, neg: np.ndarray) -> np.ndarray:
@@ -294,6 +395,108 @@ class BinnedAUPRC:
         per_label = self._ap_from_hist(self.pos, self.neg)
         macro = float(np.nanmean(per_label)) if np.any(~np.isnan(per_label)) else float("nan")
         return {"map_micro": float(micro), "map_macro": macro}
+
+
+# ----------------------------------------------------------------------
+# All-on-device eval accumulation (ESTIMATE_MAP fast path)
+
+
+class DeviceEvalAccumulator:
+    """Accumulates confusion counts, samplewise sums, and binned AUPRC
+    histograms on device — one jitted update per eval batch; logits never
+    leave the accelerator (the wired-up version of BinnedAUPRC.device_update,
+    replacing the reference's per-batch CPU metric updates,
+    ProtNoteTrainer.py:520-543)."""
+
+    def __init__(self, num_labels: int, threshold: float, num_bins: int = 512):
+        if not _HAS_JAX:  # pragma: no cover
+            raise RuntimeError("DeviceEvalAccumulator requires jax")
+        self.num_labels = num_labels
+        self.threshold = float(threshold)
+        self.num_bins = num_bins
+        self.state = {
+            "tp": jnp.zeros(num_labels, jnp.int32),
+            "fp": jnp.zeros(num_labels, jnp.int32),
+            "fn": jnp.zeros(num_labels, jnp.int32),
+            "pos": jnp.zeros(num_labels * num_bins, jnp.int32),
+            "neg": jnp.zeros(num_labels * num_bins, jnp.int32),
+            "precision_sum": jnp.zeros((), jnp.float32),
+            "precision_count": jnp.zeros((), jnp.int32),
+            "recall_sum": jnp.zeros((), jnp.float32),
+            "recall_count": jnp.zeros((), jnp.int32),
+            "covered": jnp.zeros((), jnp.int32),
+        }
+        th, nb = self.threshold, self.num_bins
+
+        def _update(state, logits, targets, example_mask, label_mask, cols):
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            valid = (example_mask[:, None] > 0) & (label_mask[None, :] > 0)
+            t = (targets > 0) & valid
+            pred = (probs > th) & valid
+            new = dict(state)
+            new["tp"] = state["tp"].at[cols].add(
+                jnp.sum(pred & t, axis=0).astype(jnp.int32))
+            new["fp"] = state["fp"].at[cols].add(
+                jnp.sum(pred & ~t, axis=0).astype(jnp.int32))
+            new["fn"] = state["fn"].at[cols].add(
+                jnp.sum(~pred & t, axis=0).astype(jnp.int32))
+            # samplewise (rows with no valid labels contribute nothing)
+            row_valid = example_mask > 0
+            tp_row = jnp.sum(pred & t, axis=1)
+            pred_row = jnp.sum(pred, axis=1)
+            has_pred = (pred_row > 0) & row_valid
+            p = tp_row / jnp.maximum(pred_row, 1)
+            new["precision_sum"] = state["precision_sum"] + jnp.sum(
+                jnp.where(has_pred, p, 0.0))
+            new["precision_count"] = state["precision_count"] + jnp.sum(has_pred)
+            r = tp_row / jnp.maximum(jnp.sum(t, axis=1), 1)
+            new["recall_sum"] = state["recall_sum"] + jnp.sum(
+                jnp.where(row_valid, r, 0.0))
+            new["recall_count"] = state["recall_count"] + jnp.sum(row_valid)
+            new["covered"] = state["covered"] + jnp.sum(has_pred)
+            # binned AUPRC histograms, scattered into full-vocab rows
+            bins = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
+            flat = (cols[None, :] * nb + bins).reshape(-1)
+            new["pos"] = state["pos"].at[flat].add(t.reshape(-1).astype(jnp.int32))
+            new["neg"] = state["neg"].at[flat].add(
+                ((targets <= 0) & valid).reshape(-1).astype(jnp.int32))
+            return new
+
+        self._update = jax.jit(_update, donate_argnums=(0,))
+
+    def update(self, logits, targets, example_mask, label_mask=None,
+               label_indices=None) -> None:
+        L = logits.shape[1]
+        if label_mask is None:
+            label_mask = jnp.ones((L,), jnp.float32)
+        if label_indices is None:
+            cols = jnp.arange(L, dtype=jnp.int32)
+        else:
+            cols = jnp.asarray(label_indices, jnp.int32)
+            if cols.shape[0] < L:  # padded label slots (masked) scatter to 0
+                cols = jnp.pad(cols, (0, L - cols.shape[0]))
+        self.state = self._update(self.state, logits, targets, example_mask,
+                                  label_mask, cols)
+
+    def merge_into(self, metrics: "EvalMetrics") -> None:
+        s = {k: np.asarray(v) for k, v in self.state.items()}
+        if metrics.confusion is not None:
+            metrics.confusion.merge_counts(s["tp"], s["fp"], s["fn"])
+        if metrics.samplewise is not None:
+            sw = metrics.samplewise
+            sw.precision_sum += float(s["precision_sum"])
+            sw.precision_count += int(s["precision_count"])
+            sw.recall_sum += float(s["recall_sum"])
+            sw.recall_count += int(s["recall_count"])
+            sw.covered += int(s["covered"])
+            sw.total += int(s["recall_count"])
+        if not isinstance(metrics.auprc, BinnedAUPRC):
+            raise ValueError("device accumulation produces binned AUPRC; "
+                             "construct EvalMetrics with map_estimate=True")
+        metrics.auprc.merge(
+            s["pos"].reshape(metrics.auprc.pos.shape),
+            s["neg"].reshape(metrics.auprc.neg.shape),
+        )
 
 
 # ----------------------------------------------------------------------
@@ -318,14 +521,17 @@ class EvalMetrics:
         )
 
     def update(self, probs: np.ndarray, targets: np.ndarray,
-               mask: Optional[np.ndarray] = None) -> None:
+               mask: Optional[np.ndarray] = None,
+               label_indices: Optional[np.ndarray] = None) -> None:
         probs = np.asarray(probs)
         targets = np.asarray(targets)
         if self.confusion is not None:
-            self.confusion.update(probs, targets, mask)
+            self.confusion.update(probs, targets, mask, label_indices)
         if self.samplewise is not None:
+            # samplewise metrics are row-wise over whatever columns were
+            # scored; no column remap is needed
             self.samplewise.update(probs, targets, mask)
-        self.auprc.update(probs, targets, mask)
+        self.auprc.update(probs, targets, mask, label_indices=label_indices)
 
     def compute(self, prefix: Optional[str] = None) -> Dict[str, float]:
         out: Dict[str, float] = {}

@@ -64,19 +64,95 @@ def _proteinfer_slots(params: Dict, state: Dict) -> List[Tuple[Any, Any, str]]:
     return slots
 
 
-def proteinfer_from_tf_pickle(weights_path: str, cfg: ProteInferConfig):
-    """Load a reference TF1 pickle into (params, state) pytrees."""
+def _order_tf_values_by_name(tf_weights: Dict[str, np.ndarray],
+                             num_blocks: int) -> Optional[List[np.ndarray]]:
+    """Order TF variables into slot order *by variable name*.
+
+    The pickle keys are TF variable names (``inferrer/.../conv1d_3/kernel:0``
+    etc., producer: /root/reference/bin/export_proteinfer.py:33-42).  Groups
+    are classified by leaf (kernel/bias vs gamma/beta/moving_*) and kernel
+    rank (conv1d = 3-D, dense = 2-D), then ordered by TF's auto-numbering
+    suffix — removing the positional zip's reliance on dict insertion order
+    (reference proteinfer.py:28-38 zips positionally).  Returns None when the
+    names do not fit the expected schema (caller falls back to positional).
+    """
+    groups: Dict[str, Dict[str, np.ndarray]] = defaultdict(dict)
+    for name, arr in tf_weights.items():
+        parts = name.split("/")
+        leaf = parts[-1].split(":")[0]
+        scope = "/".join(parts[:-1])
+        groups[scope][leaf] = np.asarray(arr)
+
+    def scope_index(scope: str) -> int:
+        m = re.search(r"_(\d+)$", scope.split("/")[-1])
+        return int(m.group(1)) if m else 0
+
+    convs, bns, denses = [], [], []
+    for scope, g in groups.items():
+        if {"gamma", "beta", "moving_mean", "moving_variance"} <= set(g):
+            bns.append((scope_index(scope), g))
+        elif "kernel" in g and g["kernel"].ndim == 3 and "bias" in g:
+            convs.append((scope_index(scope), g))
+        elif "kernel" in g and g["kernel"].ndim == 2 and "bias" in g:
+            denses.append((scope_index(scope), g))
+        else:
+            return None  # unrecognised group
+    if (
+        len(convs) != 1 + 2 * num_blocks
+        or len(bns) != 2 * num_blocks
+        or len(denses) != 1
+        or len({i for i, _ in convs}) != len(convs)
+        or len({i for i, _ in bns}) != len(bns)
+    ):
+        return None
+    convs = [g for _, g in sorted(convs)]
+    bns = [g for _, g in sorted(bns)]
+    dense = denses[0][1]
+
+    # slot order (see _proteinfer_slots): conv1, then per block
+    # [bn1 γβ, bn1 stats, conv_dilated, bn2 γβ, bn2 stats, conv_1x1], output
+    values: List[np.ndarray] = [convs[0]["kernel"], convs[0]["bias"]]
+    for i in range(num_blocks):
+        bn1, bn2 = bns[2 * i], bns[2 * i + 1]
+        cd, c1 = convs[1 + 2 * i], convs[2 + 2 * i]
+        values += [
+            bn1["gamma"], bn1["beta"], bn1["moving_mean"], bn1["moving_variance"],
+            cd["kernel"], cd["bias"],
+            bn2["gamma"], bn2["beta"], bn2["moving_mean"], bn2["moving_variance"],
+            c1["kernel"], c1["bias"],
+        ]
+    values += [dense["kernel"], dense["bias"]]
+    return values
+
+
+def proteinfer_from_tf_pickle(weights_path: str, cfg: ProteInferConfig,
+                              strategy: str = "auto"):
+    """Load a reference TF1 pickle into (params, state) pytrees.
+
+    ``strategy``: "name" (match TF variable names), "positional" (reference
+    zip order), or "auto" (name-based with positional fallback)."""
     import jax
     import jax.numpy as jnp
 
     with open(weights_path, "rb") as fh:
         tf_weights = pickle.load(fh)
     tf_weights = dict(tf_weights)
-    tf_weights.pop("inferrer/global_step:0", None)
+    tf_weights = {k: v for k, v in tf_weights.items()
+                  if not k.split("/")[-1].startswith("global_step")}
 
     params, state = init_proteinfer(jax.random.PRNGKey(0), cfg)
     slots = _proteinfer_slots(params, state)
-    values = list(tf_weights.values())
+
+    values = None
+    if strategy in ("auto", "name"):
+        values = _order_tf_values_by_name(tf_weights, cfg.num_resnet_blocks)
+        if values is None and strategy == "name":
+            raise ValueError(
+                "TF pickle variable names do not match the expected "
+                "ProteInfer schema; retry with strategy='positional'"
+            )
+    if values is None:
+        values = list(tf_weights.values())
     if len(values) != len(slots):
         raise ValueError(
             f"TF pickle has {len(values)} arrays; expected {len(slots)}"

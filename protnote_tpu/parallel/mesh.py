@@ -61,6 +61,11 @@ def shardings_for_batch(mesh: Mesh) -> Dict[str, NamedSharding]:
         "label_embeddings": NamedSharding(mesh, P("label", None)),
         "label_token_counts": NamedSharding(mesh, P("label")),
         "label_mask": NamedSharding(mesh, P("label")),
+        # device-resident label path: per-step gather indices shard over the
+        # label axis; the resident view matrix is replicated so each device
+        # gathers its own label shard locally (no cross-device gather)
+        "label_rows": NamedSharding(mesh, P("label")),
+        "label_matrix": NamedSharding(mesh, P()),
         "logits": NamedSharding(mesh, P("dp", "label")),
         "params": NamedSharding(mesh, P()),
     }

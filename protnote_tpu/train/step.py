@@ -63,6 +63,15 @@ def init_train_state(
     }
 
 
+def _resolve_label_embeddings(batch: Dict[str, Any]) -> jnp.ndarray:
+    """Label embeddings for one step: either shipped with the batch, or
+    gathered on device from the step-invariant resident view matrix
+    (``label_matrix``) using per-step ``label_rows`` indices."""
+    if "label_rows" in batch and "label_matrix" in batch:
+        return jnp.take(batch["label_matrix"], batch["label_rows"], axis=0)
+    return batch["label_embeddings"]
+
+
 def _pair_mask(example_mask: jnp.ndarray, num_labels: int,
                label_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     m = jnp.broadcast_to(
@@ -136,7 +145,7 @@ def make_train_step(
                 if "text" not in trainable and "lora" not in trainable:
                     label_embeddings = jax.lax.stop_gradient(label_embeddings)
             else:
-                label_embeddings = batch["label_embeddings"]
+                label_embeddings = _resolve_label_embeddings(batch)
 
             logits, model_state = protnote_forward(
                 trainable["protnote"], ts["model_state"], P_f,
@@ -222,7 +231,7 @@ def make_eval_step(
                 hidden, batch["label_attention_mask"], pooling_method
             )
         else:
-            label_embeddings = batch["label_embeddings"]
+            label_embeddings = _resolve_label_embeddings(batch)
         logits, _ = protnote_forward(
             ts["trainable"]["protnote"], ts["model_state"], P_f,
             label_embeddings, pn_cfg, train=False,
@@ -246,6 +255,8 @@ def batch_to_device_dict(batch) -> Dict[str, jnp.ndarray]:
     }
     if batch.label_embeddings is not None:
         out["label_embeddings"] = jnp.asarray(batch.label_embeddings)
+    if batch.label_rows is not None:
+        out["label_rows"] = jnp.asarray(batch.label_rows, dtype=jnp.int32)
     if batch.label_multihots is not None:
         out["label_multihots"] = jnp.asarray(batch.label_multihots)
     if batch.label_mask is not None:

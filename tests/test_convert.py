@@ -202,3 +202,63 @@ def test_protnote_torch_conversion():
         np.asarray(state["output_mlp"]["bns"][2]["mean"]),
         sd["output_layer.9.running_mean"].numpy(),
     )
+
+
+def test_proteinfer_tf_pickle_name_based(tmp_path):
+    """Realistic TF variable names (inferrer/conv1d_N, batch_normalization_N,
+    dense — the schema export_proteinfer.py:33-42 dumps) are matched BY NAME:
+    a scrambled dict order must still convert correctly."""
+    rng = np.random.default_rng(1)
+    entries = [
+        ("inferrer/conv1d/kernel:0", rng.normal(size=(3, 4, 8))),
+        ("inferrer/conv1d/bias:0", rng.normal(size=8)),
+        ("inferrer/dense/kernel:0", rng.normal(size=(8, 5))),
+        ("inferrer/dense/bias:0", rng.normal(size=5)),
+        ("inferrer/global_step:0", np.int64(1000)),
+    ]
+    # bn numbering 0..3 (TF drops the suffix on the first), conv numbering 1..4
+    for i in range(2):
+        bn1, bn2 = 2 * i, 2 * i + 1
+        cd, c1 = 1 + 2 * i, 2 + 2 * i
+        sfx1 = f"_{bn1}" if bn1 else ""
+        entries += [
+            (f"inferrer/batch_normalization{sfx1}/gamma:0", rng.normal(size=8)),
+            (f"inferrer/batch_normalization{sfx1}/beta:0", rng.normal(size=8)),
+            (f"inferrer/batch_normalization{sfx1}/moving_mean:0", rng.normal(size=8)),
+            (f"inferrer/batch_normalization{sfx1}/moving_variance:0", rng.random(8) + 0.5),
+            (f"inferrer/conv1d_{cd}/kernel:0", rng.normal(size=(3, 8, 4))),
+            (f"inferrer/conv1d_{cd}/bias:0", rng.normal(size=4)),
+            (f"inferrer/batch_normalization_{bn2}/gamma:0", rng.normal(size=4)),
+            (f"inferrer/batch_normalization_{bn2}/beta:0", rng.normal(size=4)),
+            (f"inferrer/batch_normalization_{bn2}/moving_mean:0", rng.normal(size=4)),
+            (f"inferrer/batch_normalization_{bn2}/moving_variance:0", rng.random(4) + 0.5),
+            (f"inferrer/conv1d_{c1}/kernel:0", rng.normal(size=(1, 4, 8))),
+            (f"inferrer/conv1d_{c1}/bias:0", rng.normal(size=8)),
+        ]
+    d = dict(entries)
+    # scramble insertion order — positional zip would mis-assign
+    keys = list(d)
+    rng.shuffle(keys)
+    scrambled = {k: d[k] for k in keys}
+    path = tmp_path / "scrambled.pkl"
+    with open(path, "wb") as fh:
+        pickle.dump(scrambled, fh)
+
+    params, state = proteinfer_from_tf_pickle(str(path), PI)
+    np.testing.assert_allclose(np.asarray(params["conv1"]["kernel"]),
+                               d["inferrer/conv1d/kernel:0"])
+    np.testing.assert_allclose(np.asarray(params["blocks"][0]["conv_dilated"]["kernel"]),
+                               d["inferrer/conv1d_1/kernel:0"])
+    np.testing.assert_allclose(np.asarray(params["blocks"][1]["conv_1x1"]["bias"]),
+                               d["inferrer/conv1d_4/bias:0"])
+    np.testing.assert_allclose(np.asarray(state["blocks"][1]["bn1"]["var"]),
+                               d["inferrer/batch_normalization_2/moving_variance:0"])
+    np.testing.assert_allclose(np.asarray(params["output"]["kernel"]),
+                               d["inferrer/dense/kernel:0"])
+
+    # strategy="name" on a nonconforming pickle raises
+    bad = {f"x{i}/kernel:0": np.zeros((2, 2)) for i in range(3)}
+    with open(tmp_path / "noname.pkl", "wb") as fh:
+        pickle.dump(bad, fh)
+    with pytest.raises(ValueError, match="schema"):
+        proteinfer_from_tf_pickle(str(tmp_path / "noname.pkl"), PI, strategy="name")
