@@ -48,6 +48,18 @@ def main(argv=None):
     ec.add_argument("--enzyme-dat", default=None)
     ec.add_argument("--output", required=True)
 
+    sp = sub.add_parser(
+        "swissprot",
+        help="download + gunzip a SwissProt release .dat "
+             "(reference bin/download_swissprot.py)",
+    )
+    sp.add_argument(
+        "--url",
+        default="https://ftp.uniprot.org/pub/databases/uniprot/"
+                "current_release/knowledgebase/complete/uniprot_sprot.dat.gz",
+    )
+    sp.add_argument("--output", required=True, help="unzipped .dat destination")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -101,6 +113,17 @@ def main(argv=None):
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         df.to_pickle(args.output)
         logger.info("wrote %d EC annotations to %s", len(df), args.output)
+
+    elif args.cmd == "swissprot":
+        import gzip
+        import shutil
+
+        gz = _download(args.url, args.output + ".gz")
+        logger.info("unzipping %s", gz)
+        with gzip.open(gz, "rb") as src, open(args.output, "wb") as dst:
+            shutil.copyfileobj(src, dst, length=16 * 1024 * 1024)
+        os.unlink(gz)
+        logger.info("wrote %s (feed to make_datasets from-swissprot)", args.output)
 
 
 if __name__ == "__main__":

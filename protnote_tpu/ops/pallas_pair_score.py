@@ -11,13 +11,14 @@ This is the framework's hot op (reference ProtNote.py:286-293 materialises a
 XLA tiled path (ops/pair_scorer.pair_logits_tiled) is correct but writes each
 layer's (pairs, H) activations to HBM — ~4x H*pairs bytes of traffic per tile
 against only ~2 H^2 bytes of weight traffic, leaving it HBM-bound.  This
-kernel keeps the x1/x2 tiles resident in VMEM and streams only the weight
-matrices from HBM (double-buffered 512x512 blocks), so the op runs at MXU
-roofline for pair tiles of 512+.
+kernel computes x1 k-blocks on the fly inside the W2 pass (the VPU
+broadcast-add overlaps the MXU/DMA pipeline; x1 never round-trips through
+VMEM), keeps the x2 tile resident, and streams only the weight matrices from
+HBM (double-buffered 512x512 blocks).
 
 Grid: (B/TB, L/TL); each program scores a (TB x TL) pair tile.
-VMEM budget at defaults (TB=8, TL=64, H=3072, bf16): x1 3MB + x2 3MB +
-acc 1MB + 2x2 weight buffers 2MB + operand tiles < 9.5MB.
+VMEM budget at (TB=8, TL=256, H=3072, bf16): x2 12MB + 2 weight buffers 1MB +
+acc 1MB + a/c operand tiles 1.6MB < 16MB.
 """
 
 from __future__ import annotations
@@ -42,7 +43,6 @@ def _kernel(
     b3_ref,     # (1, H) VMEM
     wout_ref,   # (H, 128) VMEM — w_out replicated into lane 0 (see wrapper)
     out_ref,    # (TB, TL) VMEM
-    x1_ref,     # scratch (TP, H) bf16
     x2_ref,     # scratch (TP, H) bf16
     wbuf,       # scratch (2, KB, NB) bf16 — double-buffered weight blocks
     acc_out_ref,  # scratch (TP, 128) f32
@@ -57,12 +57,6 @@ def _kernel(
     TP = TB * TL
     K = H // KB
     N = H // NB
-
-    # ---- phase 1: x1 = relu(a ⊕ c) --------------------------------------
-    a = a_ref[:].astype(jnp.float32)
-    c = c_ref[:].astype(jnp.float32)
-    x1 = jax.nn.relu(a[:, None, :] + c[None, :, :])
-    x1_ref[:] = x1.reshape(TP, H).astype(x1_ref.dtype)
 
     # ---- weight streaming ------------------------------------------------
     # Static block schedule: all of W2 (n-major), then all of W3.  N, K are
@@ -89,9 +83,20 @@ def _kernel(
     for t, (which, n, k) in enumerate(schedule):
         if t + 1 < len(schedule):
             dma(t + 1).start()
+        if which == "w2":
+            # x1 k-block computed on the fly: relu(a ⊕ c) never round-trips
+            # through VMEM, and the VPU broadcast-add overlaps the weight DMA
+            # instead of serialising a whole phase before the first GEMM.
+            a_k = a_ref[:, k * KB : (k + 1) * KB].astype(jnp.float32)
+            c_k = c_ref[:, k * KB : (k + 1) * KB].astype(jnp.float32)
+            xk = (
+                jax.nn.relu(a_k[:, None, :] + c_k[None, :, :])
+                .reshape(TP, KB)
+                .astype(x2_ref.dtype)
+            )
+        else:
+            xk = x2_ref[:, k * KB : (k + 1) * KB]
         dma(t).wait()
-        x_src = x1_ref if which == "w2" else x2_ref
-        xk = x_src[:, k * KB : (k + 1) * KB]
         acc = acc + jnp.dot(xk, wbuf[t % 2], preferred_element_type=jnp.float32)
         if k == K - 1:
             if which == "w2":
@@ -186,7 +191,6 @@ def pair_logits_pallas(
         out_specs=pl.BlockSpec((TB, TL), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Lp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TP, H), compute_dtype),
             pltpu.VMEM((TP, H), compute_dtype),
             pltpu.VMEM((2, block_k, block_n), compute_dtype),
             pltpu.VMEM((TP, 128), jnp.float32),

@@ -57,6 +57,9 @@ class TrainerConfig:
     log_every_fraction: float = 0.1
     profile_dir: Optional[str] = None
     use_wandb: bool = False
+    # per-step non-finite loss/grad check (forces a host sync every step —
+    # the checkify-style debug flag proposed in SURVEY.md §5.2)
+    debug_nan: bool = False
 
     @classmethod
     def from_params(cls, params: Dict, **overrides) -> "TrainerConfig":
@@ -68,6 +71,7 @@ class TrainerConfig:
             decision_th_metric_name=params.get("DECISION_TH_METRIC_NAME", "f1_macro"),
             estimate_map=params.get("ESTIMATE_MAP", False),
             seed=params.get("SEED", 42),
+            debug_nan=params.get("DEBUG_NAN", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -294,6 +298,14 @@ class Trainer:
             if i == 0 and self.epoch == self.starting_epoch:
                 _log_device_memory()  # reference logs GPU memory after the
                 # first train batch (data.py:50-68, ProtNoteTrainer.py:779-783)
+            if self.cfg.debug_nan:
+                loss_v = float(metrics["loss"])
+                gnorm_v = float(metrics["grad_norm"])
+                if not (np.isfinite(loss_v) and np.isfinite(gnorm_v)):
+                    raise FloatingPointError(
+                        f"non-finite training signal at epoch {self.epoch} "
+                        f"step {i}: loss={loss_v}, grad_norm={gnorm_v}"
+                    )
             losses.append(metrics["loss"])
             tp = metrics["tp"] if tp is None else tp + metrics["tp"]
             fp = metrics["fp"] if fp is None else fp + metrics["fp"]

@@ -249,3 +249,17 @@ def test_trainer_uses_resident_matrix(rng):
     m_mat = trainer.evaluate(BucketBatcher(ds, **kw))
     for k in ("f1_micro", "map_micro", "loss"):
         assert m_gather["metrics"][k] == pytest.approx(m_mat["metrics"][k], abs=1e-6)
+
+
+def test_bucket_overflow_modes(rng):
+    """Sequences longer than the largest bucket: warn (default) truncates,
+    'error' raises (regression for silent truncation, r1 weak list)."""
+    import pytest as _pytest
+
+    ds = build_dataset(rng, n_seqs=6)
+    # longest sequence is 20+5=25; force a tiny bucket
+    b = next(iter(BucketBatcher(ds, 2, buckets=(16,))))
+    assert b.aa_ids.shape[1] == 16
+    assert (b.lengths <= 16).all()
+    with _pytest.raises(ValueError, match="exceeds the largest bucket"):
+        next(iter(BucketBatcher(ds, 2, buckets=(16,), on_bucket_overflow="error")))
