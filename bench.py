@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--details", action="store_true")
-    ap.add_argument("--backend", choices=["auto", "tiled", "pallas"], default="auto")
+    ap.add_argument("--backend", choices=["auto", "tiled"], default="auto")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full training step instead of inference")
     ap.add_argument("--remat", action="store_true",
@@ -59,7 +59,6 @@ def main():
     from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
     from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer, embed_from_ids
     from protnote_tpu.ops.pair_scorer import fold_output_mlp, pair_logits_tiled
-    from protnote_tpu.ops.pallas_pair_score import pair_logits_pallas
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -221,8 +220,13 @@ def main():
             pn_params, pn_state, pi_params, pi_state,
             make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4}),
         )
+        # commit the state to the chip ONCE — host-committed leaves would
+        # re-upload all params with every jit call
+        ts = jax.device_put(ts, dev)
         ev = make_eval_step(pi_cfg, pn_cfg)
-        label_matrix = jnp.asarray(ds.label_view.embeddings)
+        label_matrix = jax.device_put(
+            np.ascontiguousarray(ds.label_view.embeddings, np.float32), dev
+        )
 
         # warm up compile on one batch
         first = next(iter(batcher))
@@ -339,17 +343,6 @@ def main():
     )
     results["tiled"] = timeit_chained(tiled_step, P_e)
     log(f"tiled done: {results['tiled']*1e3:.1f} ms")
-
-    if on_tpu and args.backend in ("auto", "pallas"):
-        try:
-            pallas_step = chain_pair(
-                lambda p, l: pair_logits_pallas(folded, p, l,
-                                                label_tile=256, seq_tile=8)
-            )
-            results["pallas"] = timeit_chained(pallas_step, P_e)
-        except Exception as e:
-            print(f"pallas backend failed: {e}", file=sys.stderr)
-        log("pallas done")
 
     # Encoder forward (dilated CNN over T residues), chained via lengths.
     @jax.jit

@@ -17,8 +17,9 @@ TPU-first design instead of the reference's materialised (B*L, 2d) concat:
   GEMM + bias + ReLU chains (see ``fold_output_mlp``).
 * The label axis is tiled (``lax.map``) so activations stay in a bounded
   footprint, and tiles shard cleanly over the mesh ``label`` axis.
-* A Pallas kernel (protnote_tpu/ops/pallas_pair_score.py) fuses the
-  broadcast-add + ReLU + GEMM chain for inference.
+  (A hand-written Pallas kernel for this chain was benchmarked at 155-169
+  TFLOP/s vs 177 for this tiled XLA path — 90% of v5e bf16 peak — and was
+  removed; XLA already fuses the broadcast-add + ReLU into the GEMMs.)
 
 Training mode needs exact BatchNorm statistics over all B*L rows, so the
 train path materialises activations densely (what the reference does), while

@@ -146,6 +146,12 @@ class Trainer:
             from protnote_tpu.parallel.mesh import replicated
 
             train_state = jax.device_put(train_state, replicated(mesh))
+        else:
+            # Commit the state to the accelerator ONCE.  Host-committed (or
+            # numpy) leaves would otherwise re-upload the full params + Adam
+            # moments on every eval call — the train step hides this via
+            # donation after step 1, but evaluate() never donates.
+            train_state = jax.device_put(train_state, jax.devices()[0])
         self.ts = train_state
         self.pi_cfg = pi_cfg
         self.pn_cfg = pn_cfg
@@ -272,6 +278,9 @@ class Trainer:
             self.ts = jax.tree_util.tree_map(
                 lambda x: global_device_put(np.asarray(x), rep), self.ts
             )
+        else:
+            # restore yields host arrays; commit them to the device once
+            self.ts = jax.device_put(self.ts, jax.devices()[0])
         if from_checkpoint:
             self.starting_epoch = self.epoch = int(meta.get("epoch", 0))
             bvm = meta.get("best_val_metric")
