@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Headline benchmark: ProtNote inference throughput on one TPU chip.
 
-Scores a batch of sequences against the full 32,102-label GO vocabulary
-(BASELINE.json north-star: >= 50k sequence-label pair scores/sec on v5e-8
-while scoring ~32k labels/seq; reference throughput figure is ~450 seqs/min
-on A100, Results.ipynb cell 48).
+Default mode is the END-TO-END pipeline: a generated 10,000-sequence FASTA
+flows through the real read -> dataset -> batcher -> device -> f16-logits
+readback path, scoring every sequence against the full 32,102-label GO
+vocabulary (BASELINE.json north-star: >= 50k sequence-label pair scores/sec
+on v5e-8 at ~32k labels/seq; the reference's throughput figure is ~450
+seqs/min on A100, Results.ipynb cell 48).
 
 Prints ONE JSON line:
   {"metric": ..., "value": pairs/sec, "unit": "pair_scores/sec", "vs_baseline": value/50000}
 
-Run `python bench.py --details` for the per-backend breakdown on stderr.
+Other modes: --kernel-only (pair-scorer/encoder micro-bench), --train
+(full train step, with --remat / --stream TILE), --text-tower (JAX E5
+label tower).  `--details` streams a breakdown to stderr.
 """
 
 import argparse
@@ -35,9 +39,12 @@ def main():
                     help="train bench with gradient checkpointing")
     ap.add_argument("--stream", type=int, default=0, metavar="TILE",
                     help="train bench with the streamed exact-BN scorer")
+    ap.add_argument("--kernel-only", action="store_true",
+                    help="micro-bench the pair scorer + encoder kernels on "
+                         "synthetic device-resident arrays (r1 headline)")
     ap.add_argument("--pipeline", action="store_true",
                     help="end-to-end bench: generated FASTA -> dataset -> "
-                         "batcher -> device -> logits readback")
+                         "batcher -> device -> logits readback (DEFAULT)")
     ap.add_argument("--pipeline-seqs", type=int, default=10000)
     ap.add_argument("--text-tower", action="store_true",
                     help="benchmark the zero-shot JAX text tower (E5-large "
@@ -161,7 +168,7 @@ def main():
     results = {}
     log("setup done")
 
-    if args.pipeline:
+    if args.pipeline or not (args.kernel_only or args.train or args.text_tower):
         # End-to-end framework throughput (VERDICT r1 #1): a generated FASTA
         # flows through the real read->dataset->batcher->device->readback
         # path with the device-resident label matrix and prefetch, like
