@@ -88,22 +88,31 @@ def main():
         cpu0 = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu0):
             params = init_text_encoder(jax.random.PRNGKey(0), cfg)
+        # commit to the chip ONCE (CPU-committed jit args re-upload per call)
+        params = jax.device_put(params, dev)
         rng = np.random.default_rng(0)
         Bt, Tt = args.text_batch, args.text_len
         ids = jnp.asarray(rng.integers(5, cfg.vocab_size - 5, (Bt, Tt)).astype(np.int32))
         attn = jnp.asarray(np.ones((Bt, Tt), np.int32))
 
         @jax.jit
-        def embed(params, ids, attn):
+        def embed(params, ids, attn, prev):
+            # data-dependency chain lives INSIDE the jit (eager ops between
+            # calls would each pay a tunnel round trip)
+            ids = ids + (0 * prev[0, 0]).astype(ids.dtype)
             hidden = text_encoder_forward(params, ids, attn, cfg)
             return pool_hidden_states_jnp(hidden, attn, "mean")
 
-        out = embed(params, ids, attn)
+        out = embed(params, ids, attn, jnp.zeros((1, 1), jnp.float32))
+        float(np.asarray(out)[0, 0])
+        # absorb the one-time post-compile execution hiccup before timing
+        for _ in range(3):
+            out = embed(params, ids, attn, out)
         float(np.asarray(out)[0, 0])
         t0 = time.perf_counter()
-        iters = max(args.iters, 5)
+        iters = max(args.iters, 10)
         for _ in range(iters):
-            out = embed(params, ids + (0 * out[:1, :1]).astype(ids.dtype), attn)
+            out = embed(params, ids, attn, out)
         float(np.asarray(out)[0, 0])
         dt = (time.perf_counter() - t0) / iters
         labels_per_sec = Bt / dt

@@ -260,6 +260,13 @@ def run(args) -> Dict:
     dev_gather = bool(params.get("DEVICE_RESIDENT_LABEL_EMBEDDINGS", True))
     prefetch_n = int(params.get("PREFETCH_BATCHES", 2) or 0)
 
+    def with_prefetch(batcher):
+        if prefetch_n > 0:
+            from protnote_tpu.data.batching import PrefetchBatcher
+
+            return PrefetchBatcher(batcher, prefetch=prefetch_n)
+        return batcher
+
     out_dir = config["paths_resolved"].get("OUTPUT_MODEL_DIR", "outputs/checkpoints")
     results_dir = config["paths_resolved"].get("RESULTS_DIR", "outputs/results")
     tcfg = TrainerConfig.from_params(
@@ -330,20 +337,17 @@ def run(args) -> Dict:
                     f"TRAIN_LABEL_SAMPLE_SIZE divisible by {label_pad}"
                 )
             train_batcher = GridBatcher(train_batcher, labels_batch_size=sample)
-        if prefetch_n > 0:
-            from protnote_tpu.data.batching import PrefetchBatcher
-
-            train_batcher = PrefetchBatcher(train_batcher, prefetch=prefetch_n)
+        train_batcher = with_prefetch(train_batcher)
         val_batcher = None
         if "validation" in datasets:
-            val_batcher = BucketBatcher(
+            val_batcher = with_prefetch(BucketBatcher(
                 datasets["validation"][0], params["VALIDATION_BATCH_SIZE"],
                 buckets=buckets, seed=seed,
                 label_sample_size=params.get("VALIDATION_LABEL_SAMPLE_SIZE"),
                 label_pad_multiple=label_pad,
                 descriptions_per_label=pn_cfg.inference_descriptions_per_label,
                 device_label_gather=dev_gather,
-            )
+            ))
         summary = trainer.train(train_batcher, val_batcher)
         all_metrics["train_summary"] = {
             "best_val_metric": summary["best_val_metric"],
@@ -366,12 +370,12 @@ def run(args) -> Dict:
     # ---------------- test ----------------
     for i, test_ds in enumerate(datasets.get("test", [])):
         split = f"test_{i}" if len(datasets["test"]) > 1 else "test"
-        batcher = BucketBatcher(
+        batcher = with_prefetch(BucketBatcher(
             test_ds, params["TEST_BATCH_SIZE"], buckets=buckets, seed=seed,
             label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
             device_label_gather=dev_gather,
-        )
+        ))
         parenthood = None
         if params.get("NORMALIZE_PROBABILITIES"):
             pl_path = config["paths_resolved"].get("PARENTHOOD_LIB_PATH")

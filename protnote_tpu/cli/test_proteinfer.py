@@ -107,8 +107,14 @@ def main(argv=None):
             parenthood = json.load(fh)
         normalizer = DagNormalizer(eval_labels, parenthood)
 
+    # params travel as jit ARGUMENTS, committed to the device once (closure
+    # capture would constant-fold ~200MB into the HLO; host-committed args
+    # would re-upload per batch)
+    params = jax.device_put(params, jax.devices()[0])
+    state = jax.device_put(state, jax.devices()[0])
+
     @jax.jit
-    def forward(aa_ids, lengths):
+    def forward(params, state, aa_ids, lengths):
         onehot = one_hot_sequences(aa_ids, pi_cfg.input_channels)
         logits, _ = proteinfer_forward(params, state, onehot, lengths, pi_cfg)
         return logits
@@ -117,7 +123,8 @@ def main(argv=None):
     batcher = BucketBatcher(ds, args.batch_size, return_label_multihots=False)
     all_logits, all_labels, all_ids = [], [], []
     for batch in batcher:
-        logits = np.asarray(forward(jnp.asarray(batch.aa_ids), jnp.asarray(batch.lengths)))
+        logits = np.asarray(forward(params, state, jnp.asarray(batch.aa_ids),
+                                    jnp.asarray(batch.lengths)))
         keep = batch.example_mask
         logits = logits[keep][:, cols]
         ids = [s for s, k in zip(batch.sequence_ids, keep) if k]

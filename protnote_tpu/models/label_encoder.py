@@ -181,7 +181,12 @@ class JaxLabelEncoder:
             import dataclasses
 
             self.cfg = dataclasses.replace(self.cfg, dtype=dtype)
-        self.params = from_hf_state_dict(model.state_dict(), self.cfg)
+        # Commit the tower to the accelerator once: host-committed jit
+        # arguments are re-copied to the device on EVERY call, which made the
+        # chunked embed loop transfer-bound instead of compute-bound.
+        self.params = jax.device_put(
+            from_hf_state_dict(model.state_dict(), self.cfg), jax.devices()[0]
+        )
         del model
         self.dim = self.cfg.hidden_size
 

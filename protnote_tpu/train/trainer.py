@@ -614,14 +614,14 @@ class Trainer:
             )
         T = len(thresholds)
         num_labels = batcher.ds.num_labels
-        tp = np.zeros((T, num_labels), np.int64)
-        fp = np.zeros((T, num_labels), np.int64)
-        fn = np.zeros((T, num_labels), np.int64)
 
         thr = jnp.asarray(thresholds)
 
         @jax.jit
-        def count(logits, labels, mask):
+        def count(acc, logits, labels, mask):
+            """Accumulates (T, L) tp/fp/fn on device — only the final counts
+            cross back to the host (one (T, L) readback total instead of one
+            per batch)."""
             probs = jax.nn.sigmoid(logits)
             t = labels > 0
             valid = mask[:, None] > 0
@@ -634,8 +634,16 @@ class Trainer:
                     jnp.sum(~pred & t & valid, axis=0),
                 )
 
-            return jax.lax.map(per_thr, thr)
+            btp, bfp, bfn = jax.lax.map(per_thr, thr)
+            atp, afp, afn = acc
+            L = atp.shape[1]  # drop padded label columns (mesh padding)
+            return (atp + btp[:, :L], afp + bfp[:, :L], afn + bfn[:, :L])
 
+        acc = (
+            jnp.zeros((T, num_labels), jnp.int32),
+            jnp.zeros((T, num_labels), jnp.int32),
+            jnp.zeros((T, num_labels), jnp.int32),
+        )
         label_matrix = (
             self._label_matrix_for(batcher.ds)
             if getattr(batcher, "device_label_gather", False) else None
@@ -643,13 +651,11 @@ class Trainer:
         for batch in batcher:
             arrays = self._place(batch_to_device_dict(batch), batch, label_matrix)
             out = self._eval_step(self.ts, arrays)
-            btp, bfp, bfn = count(
-                out["logits"], arrays["label_multihots"], arrays["example_mask"]
+            acc = count(
+                acc, out["logits"], arrays["label_multihots"],
+                arrays["example_mask"],
             )
-            # drop padded label columns (mesh label-axis padding)
-            tp += np.asarray(btp)[:, :num_labels]
-            fp += np.asarray(bfp)[:, :num_labels]
-            fn += np.asarray(bfn)[:, :num_labels]
+        tp, fp, fn = (np.asarray(x).astype(np.int64) for x in acc)
 
         name = self.cfg.decision_th_metric_name
         scores = []
