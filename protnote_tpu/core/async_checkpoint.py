@@ -31,8 +31,10 @@ logger = logging.getLogger(__name__)
 
 
 def _snapshot(tree):
-    """Device -> host copy; must complete before donated buffers are reused."""
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device -> host copy; must complete before donated buffers are reused.
+    Forces a copy even for host-resident leaves (np.asarray would alias
+    them, leaking later in-place mutation into the queued write)."""
+    return jax.tree_util.tree_map(lambda x: np.array(x, copy=True), tree)
 
 
 class AsyncCheckpointer:

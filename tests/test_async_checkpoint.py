@@ -1,0 +1,75 @@
+"""Async checkpointer: background writes, same-step dedup, error surfacing."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from protnote_tpu.core.async_checkpoint import AsyncCheckpointer
+from protnote_tpu.core.checkpoint import restore_checkpoint
+
+
+def make_state(v: float):
+    return {
+        "trainable": {"w": jnp.full((64, 64), v, jnp.float32)},
+        "step": jnp.asarray(int(v), jnp.int32),
+    }
+
+
+def test_async_save_restore_roundtrip(tmp_path):
+    ck = AsyncCheckpointer()
+    path = str(tmp_path / "a.ckpt")
+    state = make_state(3.0)
+    ck.save(path, state, epoch=5, best_val_metric=0.9)
+    ck.wait()
+    restored, meta = restore_checkpoint(path, make_state(0.0))
+    assert meta["epoch"] == 5 and meta["best_val_metric"] == 0.9
+    np.testing.assert_array_equal(
+        np.asarray(restored["trainable"]["w"]),
+        np.full((64, 64), 3.0, np.float32),
+    )
+    ck.close()
+
+
+def test_snapshot_isolates_later_mutation(tmp_path):
+    """The device->host snapshot happens at save() time: mutating (donating)
+    the state afterwards must not affect the written file."""
+    ck = AsyncCheckpointer()
+    path = str(tmp_path / "b.ckpt")
+    state = {"w": np.ones(8, np.float32)}
+    ck.save(path, state, epoch=1)
+    state["w"][:] = -1.0  # simulates the next donated train step
+    ck.wait()
+    restored, _ = restore_checkpoint(path, {"w": np.zeros(8, np.float32)})
+    np.testing.assert_array_equal(restored["w"], np.ones(8, np.float32))
+    ck.close()
+
+
+def test_dedup_same_tag_writes_both_paths(tmp_path):
+    """best-metric + best-loss firing in the same epoch serialize once but
+    both files exist and restore identically."""
+    ck = AsyncCheckpointer()
+    p1, p2 = str(tmp_path / "m.ckpt"), str(tmp_path / "l.ckpt")
+    state = make_state(7.0)
+    ck.save(p1, state, epoch=3, dedup_tag=3)
+    ck.save(p2, state, epoch=3, dedup_tag=3)
+    ck.wait()
+    for p in (p1, p2):
+        restored, meta = restore_checkpoint(p, make_state(0.0))
+        assert meta["epoch"] == 3
+        assert float(np.asarray(restored["trainable"]["w"])[0, 0]) == 7.0
+    ck.close()
+
+
+def test_write_error_raised_on_wait(tmp_path):
+    ck = AsyncCheckpointer()
+    # parent "directory" is a regular file -> the background write must fail
+    # and the failure must surface on wait()
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    ck.save(str(blocker / "x.ckpt"), make_state(1.0), epoch=0)
+    with pytest.raises(Exception):
+        ck.wait()

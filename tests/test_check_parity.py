@@ -1,0 +1,128 @@
+"""check_parity CLI: the one-command gate for real reference artifacts,
+smoke-tested end-to-end on synthetic stand-ins."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+import torch
+
+from protnote_tpu.cli.check_parity import main as check_parity_main
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """Synthetic TF pickle (real variable-name schema) + ProtNote .pt
+    checkpoint at full-size shapes."""
+    from protnote_tpu.models.fusion import ProtNoteConfig
+    from protnote_tpu.models.proteinfer import ProteInferConfig
+
+    tmp = tmp_path_factory.mktemp("parity")
+    rng = np.random.default_rng(0)
+    pi_cfg = ProteInferConfig()  # full size: the CLI uses defaults
+
+    # ---- TF pickle with the reference's variable naming ----
+    C, K, H = pi_cfg.input_channels, pi_cfg.kernel_size, pi_cfg.output_channels
+    bott = int(H * pi_cfg.bottleneck_factor)
+    d = {
+        "inferrer/conv1d/kernel:0": rng.normal(size=(K, C, H)) * 0.01,
+        "inferrer/conv1d/bias:0": rng.normal(size=H) * 0.01,
+        "inferrer/dense/kernel:0": rng.normal(size=(H, pi_cfg.num_labels)) * 0.01,
+        "inferrer/dense/bias:0": rng.normal(size=pi_cfg.num_labels) * 0.01,
+        "inferrer/global_step:0": np.int64(100),
+    }
+    for i in range(pi_cfg.num_resnet_blocks):
+        bn1, bn2 = 2 * i, 2 * i + 1
+        cd, c1 = 1 + 2 * i, 2 + 2 * i
+        s1 = f"_{bn1}" if bn1 else ""
+        d[f"inferrer/batch_normalization{s1}/gamma:0"] = np.ones(H)
+        d[f"inferrer/batch_normalization{s1}/beta:0"] = np.zeros(H)
+        d[f"inferrer/batch_normalization{s1}/moving_mean:0"] = np.zeros(H)
+        d[f"inferrer/batch_normalization{s1}/moving_variance:0"] = np.ones(H)
+        d[f"inferrer/conv1d_{cd}/kernel:0"] = rng.normal(size=(K, H, bott)) * 0.01
+        d[f"inferrer/conv1d_{cd}/bias:0"] = np.zeros(bott)
+        d[f"inferrer/batch_normalization_{bn2}/gamma:0"] = np.ones(bott)
+        d[f"inferrer/batch_normalization_{bn2}/beta:0"] = np.zeros(bott)
+        d[f"inferrer/batch_normalization_{bn2}/moving_mean:0"] = np.zeros(bott)
+        d[f"inferrer/batch_normalization_{bn2}/moving_variance:0"] = np.ones(bott)
+        d[f"inferrer/conv1d_{c1}/kernel:0"] = rng.normal(size=(1, bott, H)) * 0.01
+        d[f"inferrer/conv1d_{c1}/bias:0"] = np.zeros(H)
+    pkl = tmp / "GO_model_weights.pkl"
+    with open(pkl, "wb") as fh:
+        pickle.dump(d, fh)
+
+    # ---- torch ProtNote checkpoint (projection heads + output MLP) ----
+    pn_cfg = ProtNoteConfig()
+    sd = {}
+
+    def head(prefix, in_dim):
+        dims = [in_dim] + [pn_cfg.latent_dim * 3] * 3 + [pn_cfg.latent_dim]
+        li = 0
+        for j in range(4):
+            sd[f"{prefix}.{li}.weight"] = torch.randn(dims[j + 1], dims[j]) * 0.01
+            li += 1
+            if j < 3:
+                sd[f"{prefix}.{li}.weight"] = torch.ones(dims[j + 1])
+                sd[f"{prefix}.{li}.bias"] = torch.zeros(dims[j + 1])
+                sd[f"{prefix}.{li}.running_mean"] = torch.zeros(dims[j + 1])
+                sd[f"{prefix}.{li}.running_var"] = torch.ones(dims[j + 1])
+                sd[f"{prefix}.{li}.num_batches_tracked"] = torch.tensor(0)
+                li += 2  # BN + ReLU
+
+    head("W_p", pn_cfg.protein_embedding_dim)
+    head("W_l", pn_cfg.label_embedding_dim)
+    Hm = pn_cfg.output_mlp_hidden_dim
+    dims = [pn_cfg.joint_dim, Hm, Hm, Hm]
+    li = 0
+    for j in range(3):
+        sd[f"output_layer.{li}.weight"] = torch.randn(dims[j + 1], dims[j]) * 0.01
+        li += 1
+        sd[f"output_layer.{li}.weight"] = torch.ones(dims[j + 1])
+        sd[f"output_layer.{li}.bias"] = torch.zeros(dims[j + 1])
+        sd[f"output_layer.{li}.running_mean"] = torch.zeros(dims[j + 1])
+        sd[f"output_layer.{li}.running_var"] = torch.ones(dims[j + 1])
+        sd[f"output_layer.{li}.num_batches_tracked"] = torch.tensor(0)
+        li += 2
+    sd[f"output_layer.{li}.weight"] = torch.randn(1, Hm) * 0.01
+    sd[f"output_layer.{li}.bias"] = torch.zeros(1)
+
+    pt = tmp / "protnote_seed12.pt"
+    torch.save({"model_state_dict": sd, "epoch": 46, "best_val_metric": 0.6}, pt)
+    return tmp, str(pkl), str(pt)
+
+
+def test_check_parity_pickle_and_checkpoint(artifacts, tmp_path):
+    tmp, pkl, pt = artifacts
+    out = tmp_path / "PARITY_RESULTS.json"
+    rc = check_parity_main([
+        "--proteinfer-pickle", pkl,
+        "--protnote-checkpoint", pt,
+        "--output", str(out),
+    ])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    assert results["tf_pickle"]["status"] == "PASS"
+    assert results["tf_pickle"]["strategy"] == "name"
+    assert results["encoder_invariants"]["status"] == "PASS"
+    assert results["encoder_invariants"]["padding_invariance_max_diff"] < 1e-4
+    assert results["protnote_checkpoint"]["status"] == "PASS"
+    assert results["protnote_checkpoint"]["epoch"] == 46
+
+
+def test_check_parity_requires_inputs():
+    assert check_parity_main([]) == 2
+
+
+def test_check_parity_bad_pickle(tmp_path):
+    bad = tmp_path / "bad.pkl"
+    with open(bad, "wb") as fh:
+        pickle.dump({"x/kernel:0": np.zeros((2, 2))}, fh)
+    out = tmp_path / "res.json"
+    rc = check_parity_main([
+        "--proteinfer-pickle", str(bad), "--output", str(out),
+    ])
+    assert rc == 1
+    results = json.loads(out.read_text())
+    assert results["tf_pickle"]["status"] == "FAIL"
