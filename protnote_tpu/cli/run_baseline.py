@@ -49,8 +49,8 @@ def main(argv=None):
         trained_cache, trained_vocab, [args.description_type]
     )
     zs_view = LabelEmbeddingView.build(zs_cache, zs_vocab, [args.description_type])
-    trained_emb, _ = trained_view.first_k_per_label(1)
-    zs_emb, _ = zs_view.first_k_per_label(1)
+    trained_emb, _, _ = trained_view.first_k_per_label(1)
+    zs_emb, _, _ = zs_view.first_k_per_label(1)
 
     out = transfer_logits(sup.values.astype(np.float32), zs_emb, trained_emb)
     paths = save_evaluation_results(
