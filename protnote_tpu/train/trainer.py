@@ -121,6 +121,77 @@ class WandbLogger:
             self._run.finish()
 
 
+class TrainConfusionAccumulator:
+    """Streams the train step's per-column tp/fp/fn counters into
+    full-vocabulary totals on device.
+
+    Label-subset batches (fixed/shuffled sampling, in-batch positives, grid
+    tiles — reference collators.py:95-133 / samplers.py:127-224) carry
+    columns that mean DIFFERENT labels every batch; naive column-wise sums
+    would mix labels (and crash when widths vary).  Here each batch's counts
+    are scatter-added at its ``label_indices`` with one tiny jitted op, so
+    the epoch metrics are exact for every sampling mode.  Full-vocabulary
+    batches keep the zero-overhead lazy-sum fast path.
+    """
+
+    def __init__(self, num_labels: int):
+        self.num_labels = num_labels
+        self.tp = self.fp = self.fn = None
+        self._scatter = None
+
+    def _scatter_fn(self):
+        if self._scatter is None:
+            @jax.jit
+            def scatter(acc, metrics, cols):
+                n = cols.shape[0]
+                return tuple(
+                    a.at[cols].add(m[:n].astype(jnp.int32))
+                    for a, m in zip(acc, (metrics["tp"], metrics["fp"], metrics["fn"]))
+                )
+
+            self._scatter = scatter
+        return self._scatter
+
+    def update(self, metrics: Dict[str, Any], label_indices=None) -> None:
+        full = label_indices is None or len(label_indices) == self.num_labels
+        if full and self.tp is None:
+            self.tp, self.fp, self.fn = metrics["tp"], metrics["fp"], metrics["fn"]
+            return
+        if full and self.tp is not None and self.tp.shape == metrics["tp"].shape:
+            self.tp = self.tp + metrics["tp"]
+            self.fp = self.fp + metrics["fp"]
+            self.fn = self.fn + metrics["fn"]
+            return
+        # subset / mixed-width path: promote to full-vocab accumulators
+        if self.tp is None or self.tp.shape[0] != self.num_labels:
+            base = (jnp.zeros(self.num_labels, jnp.int32),) * 3
+            if self.tp is not None:  # fold previously summed full-width counts
+                w = min(self.tp.shape[0], self.num_labels)
+                base = tuple(
+                    b.at[jnp.arange(w)].add(m[:w].astype(jnp.int32))
+                    for b, m in zip(base, (self.tp, self.fp, self.fn))
+                )
+            self.tp, self.fp, self.fn = base
+        cols = jnp.asarray(
+            label_indices if label_indices is not None
+            else np.arange(self.num_labels),
+            jnp.int32,
+        )
+        self.tp, self.fp, self.fn = self._scatter_fn()(
+            (self.tp, self.fp, self.fn), metrics, cols
+        )
+
+    def compute(self) -> Dict[str, float]:
+        if self.tp is None:
+            return {}
+        # [:num_labels] drops padded label columns (mesh label padding)
+        return confusion_metrics(
+            np.asarray(self.tp)[: self.num_labels],
+            np.asarray(self.fp)[: self.num_labels],
+            np.asarray(self.fn)[: self.num_labels],
+        )
+
+
 class Trainer:
     def __init__(
         self,
@@ -293,9 +364,9 @@ class Trainer:
         num_batches = max(len(batcher), 1)
         log_every = max(int(num_batches * self.cfg.log_every_fraction), 1)
         losses = []
-        tp = fp = fn = None
         self.meter.reset()
         num_labels = batcher.ds.num_labels
+        confusion = TrainConfusionAccumulator(num_labels)
         label_matrix = (
             self._label_matrix_for(batcher.ds)
             if getattr(batcher, "device_label_gather", False) else None
@@ -316,9 +387,7 @@ class Trainer:
                         f"step {i}: loss={loss_v}, grad_norm={gnorm_v}"
                     )
             losses.append(metrics["loss"])
-            tp = metrics["tp"] if tp is None else tp + metrics["tp"]
-            fp = metrics["fp"] if fp is None else fp + metrics["fp"]
-            fn = metrics["fn"] if fn is None else fn + metrics["fn"]
+            confusion.update(metrics, batch.label_indices)
             self.meter.add(int(batch.example_mask.sum()), num_labels)
             if (i + 1) % log_every == 0:
                 rates = self.meter.rates()
@@ -335,12 +404,7 @@ class Trainer:
             raise FloatingPointError(
                 f"non-finite training loss at epoch {self.epoch}: {out['loss']}"
             )
-        if tp is not None:
-            # [:num_labels] drops padded label columns (mesh label padding)
-            out.update(confusion_metrics(
-                np.asarray(tp)[:num_labels], np.asarray(fp)[:num_labels],
-                np.asarray(fn)[:num_labels],
-            ))
+        out.update(confusion.compute())
         out.update(self.meter.rates())
         return out
 
