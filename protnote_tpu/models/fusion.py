@@ -322,6 +322,25 @@ def protnote_forward(
                 label_tile=cfg.train_label_tile, compute_dtype=cfg.compute_dtype,
             )
             new_state["output_mlp"] = om_s
+        elif (
+            train
+            and cfg.pair_backend == "auto"  # "dense" forces the materialised path
+            and cfg.feature_fusion in ("concatenation", "concatenation_diff")
+            and cfg.dropout == 0.0
+            and om_state is not None
+        ):
+            # default training path: first layer decomposed per side with
+            # analytic BN1 statistics — no (B*L, 2d) joint tensor, ~1/3
+            # fewer step FLOPs than the materialised dense path
+            from protnote_tpu.ops.streaming_train import pair_logits_dense_decomposed
+
+            logits, om_s = pair_logits_dense_decomposed(
+                params["output_mlp"], om_state, P_e, L_e, cfg.feature_fusion,
+                example_mask=example_mask, label_mask=label_mask,
+                compute_dtype=cfg.compute_dtype,
+                remat=cfg.gradient_checkpointing,
+            )
+            new_state["output_mlp"] = om_s
         elif train or backend == "dense":
             pair_mask = None
             if train and (example_mask is not None or label_mask is not None):

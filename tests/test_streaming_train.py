@@ -90,6 +90,100 @@ def test_streaming_gradients_match_dense(setup):
                                rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.parametrize("fusion", ["concatenation", "concatenation_diff"])
+@pytest.mark.parametrize("remat", [False, True])
+def test_decomposed_matches_dense(setup, fusion, remat):
+    """The default training path (decomposed first layer + analytic BN1)
+    computes the same function as the materialised dense path."""
+    from protnote_tpu.ops.streaming_train import pair_logits_dense_decomposed
+
+    params, state, P_e, L_e, em, lm = setup
+    if fusion == "concatenation_diff":
+        import dataclasses
+
+        cfg2 = dataclasses.replace(CFG, feature_fusion=fusion)
+        params, state = init_protnote(jax.random.PRNGKey(3), cfg2)
+    p, s = params["output_mlp"], state["output_mlp"]
+
+    pair_mask = em[:, None] * lm[None, :]
+    dense_logits, dense_s = pair_logits_dense(
+        p, s, P_e, L_e, fusion, train=True, pair_mask=pair_mask
+    )
+    dec_logits, dec_s = pair_logits_dense_decomposed(
+        p, s, P_e, L_e, fusion, example_mask=em, label_mask=lm,
+        compute_dtype=jnp.float32, remat=remat,
+    )
+    valid = np.asarray(pair_mask) > 0
+    np.testing.assert_allclose(
+        np.asarray(dec_logits)[valid], np.asarray(dense_logits)[valid],
+        rtol=2e-4, atol=2e-4,
+    )
+    for i in range(len(s["bns"])):
+        np.testing.assert_allclose(
+            np.asarray(dec_s["bns"][i]["mean"]),
+            np.asarray(dense_s["bns"][i]["mean"]), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_s["bns"][i]["var"]),
+            np.asarray(dense_s["bns"][i]["var"]), rtol=2e-3, atol=2e-4,
+        )
+
+
+def test_decomposed_gradients_match_dense(setup):
+    from jax.flatten_util import ravel_pytree
+
+    from protnote_tpu.ops.streaming_train import pair_logits_dense_decomposed
+
+    params, state, P_e, L_e, em, lm = setup
+    p, s = params["output_mlp"], state["output_mlp"]
+    pair_mask = em[:, None] * lm[None, :]
+
+    def loss_dense(p_, P_, L_):
+        lg, _ = pair_logits_dense(p_, s, P_, L_, "concatenation", train=True,
+                                  pair_mask=pair_mask)
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    def loss_dec(p_, P_, L_):
+        lg, _ = pair_logits_dense_decomposed(
+            p_, s, P_, L_, "concatenation", example_mask=em, label_mask=lm,
+            compute_dtype=jnp.float32,
+        )
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    # gradients w.r.t. params AND both embedding sides (the projection heads
+    # train through this path)
+    g1 = jax.grad(loss_dense, argnums=(0, 1, 2))(p, P_e, L_e)
+    g2 = jax.grad(loss_dec, argnums=(0, 1, 2))(p, P_e, L_e)
+    flat1, _ = ravel_pytree(g1)
+    flat2, _ = ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_decomposed_via_protnote_forward(setup):
+    """protnote_forward's default train path (decomposed) == forced dense."""
+    import dataclasses
+
+    from protnote_tpu.models.fusion import protnote_forward
+
+    params, state, _, _, em, lm = setup
+    rng = np.random.default_rng(2)
+    P_f = jnp.asarray(rng.normal(size=(B, 20)).astype(np.float32))
+    L_f = jnp.asarray(rng.normal(size=(L, 20)).astype(np.float32))
+    cfg_dense = dataclasses.replace(CFG, pair_backend="dense")
+    lg1, st1 = protnote_forward(params, state, P_f, L_f, cfg_dense, train=True,
+                                example_mask=em, label_mask=lm)
+    lg2, st2 = protnote_forward(params, state, P_f, L_f, CFG, train=True,
+                                example_mask=em, label_mask=lm)
+    valid = (np.asarray(em)[:, None] * np.asarray(lm)[None, :]) > 0
+    np.testing.assert_allclose(np.asarray(lg2)[valid], np.asarray(lg1)[valid],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st2["output_mlp"]["bns"][1]["var"]),
+        np.asarray(st1["output_mlp"]["bns"][1]["var"]), rtol=2e-3, atol=2e-4,
+    )
+
+
 def test_streaming_via_protnote_forward(setup):
     """cfg.train_label_tile routes the training forward through the stream."""
     import dataclasses
