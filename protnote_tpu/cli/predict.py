@@ -174,6 +174,8 @@ def main(argv=None):
         return np.concatenate([blocks[c] for c in order], axis=1)
 
     shard_rows, shard_ids, shard_no, written = [], [], 0, 0
+    latents = None
+    latents_ok = trainer._latents_eligible(batcher)
     t0 = time.perf_counter()
 
     def flush():
@@ -197,6 +199,10 @@ def main(argv=None):
     for batch in batcher:
         arrays = trainer._place(batch_to_device_dict(batch), batch,
                                 label_matrix=label_matrix)
+        if latents_ok and "label_rows" in arrays:
+            if latents is None:  # eval label layout is batch-invariant
+                latents = trainer._label_latents(arrays)
+            arrays = trainer._swap_in_latents(arrays, latents)
         out = trainer._eval_step(trainer.ts, arrays)
         logits = read_local(out["logits"])
         keep = batch.example_mask

@@ -246,6 +246,28 @@ def ensemble_logits(logits: jnp.ndarray, k: int, eps: float = 1e-7) -> jnp.ndarr
     return jnp.log(probs) - jnp.log1p(-probs)
 
 
+def compute_label_latents(
+    params: Params,
+    state: Params,
+    label_embeddings: jnp.ndarray,
+    cfg: ProtNoteConfig,
+    label_attention_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Eval-mode W_l projection of label-description rows -> latents to feed
+    ``protnote_forward(label_latents=...)``.  Jit and call once per
+    evaluation when the label layout is batch-invariant."""
+    L_f = label_embeddings
+    if cfg.label_embedding_pooling_method == "all":
+        if label_attention_mask is None:
+            raise ValueError("pooling 'all' requires label_attention_mask")
+        L_f = additive_attention(params["attn"], L_f, label_attention_mask)
+    L_e, _ = projection_head_apply(
+        params["W_l"], state["W_l"], L_f.astype(cfg.compute_dtype), cfg,
+        train=False,
+    )
+    return L_e
+
+
 # ----------------------------------------------------------------------
 # full forward
 
@@ -254,13 +276,14 @@ def protnote_forward(
     params: Params,
     state: Params,
     sequence_embeddings: jnp.ndarray,  # (B, protein_embedding_dim) — frozen encoder output
-    label_embeddings: jnp.ndarray,  # (L', D) or (L', T, D) when pooling == "all"
+    label_embeddings: Optional[jnp.ndarray],  # (L', D) or (L', T, D) when pooling == "all"
     cfg: ProtNoteConfig,
     train: bool = False,
     rng=None,
     label_attention_mask: Optional[jnp.ndarray] = None,
     example_mask: Optional[jnp.ndarray] = None,
     label_mask: Optional[jnp.ndarray] = None,
+    label_latents: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Score every sequence against every label row.
 
@@ -269,6 +292,14 @@ def protnote_forward(
     label rows are grouped in consecutive blocks of K per label and ensembled.
     ``example_mask`` (B,) / ``label_mask`` (L,) exclude padded rows from
     train-mode BatchNorm statistics.
+
+    ``label_latents``: precomputed W_l projections (L', latent_dim) —
+    eval-only fast path that skips the label tower entirely.  The eval label
+    layout is constant across batches, so the trainer projects the resident
+    label matrix ONCE per evaluation instead of per step (see
+    compute_label_latents / Trainer.evaluate); at the reference inference
+    shape (2 descriptions x 32k labels) the per-batch label-head MLP is ~8%
+    of the step.
     """
     new_state = dict(state)
     rngs = {}
@@ -277,28 +308,35 @@ def protnote_forward(
     else:
         rng_noise = rng_p = rng_l = rng_o = None
 
-    L_f = label_embeddings
-    if cfg.label_embedding_pooling_method == "all":
-        if label_attention_mask is None:
-            raise ValueError("pooling 'all' requires label_attention_mask")
-        L_f = additive_attention(params["attn"], L_f, label_attention_mask)
-
-    if train and cfg.label_embedding_noising_alpha > 0 and rng_noise is not None:
-        L_f = noise_label_embeddings(L_f, cfg.label_embedding_noising_alpha, rng_noise)
-
     P_e, wp_s = projection_head_apply(
         params["W_p"], state["W_p"], sequence_embeddings.astype(cfg.compute_dtype),
         cfg, train,
         input_dropout=cfg.sequence_embedding_dropout, rng=rng_p,
         rows_mask=None if example_mask is None else example_mask[:, None],
     )
-    L_e, wl_s = projection_head_apply(
-        params["W_l"], state["W_l"], L_f.astype(cfg.compute_dtype), cfg, train,
-        input_dropout=cfg.label_embedding_dropout, rng=rng_l,
-        rows_mask=None if label_mask is None else label_mask[:, None],
-    )
     new_state["W_p"] = wp_s
-    new_state["W_l"] = wl_s
+
+    if label_latents is not None:
+        if train:
+            raise ValueError("label_latents is an eval-only fast path")
+        L_e = label_latents.astype(cfg.compute_dtype)
+    else:
+        L_f = label_embeddings
+        if cfg.label_embedding_pooling_method == "all":
+            if label_attention_mask is None:
+                raise ValueError("pooling 'all' requires label_attention_mask")
+            L_f = additive_attention(params["attn"], L_f, label_attention_mask)
+
+        if train and cfg.label_embedding_noising_alpha > 0 and rng_noise is not None:
+            L_f = noise_label_embeddings(
+                L_f, cfg.label_embedding_noising_alpha, rng_noise
+            )
+        L_e, wl_s = projection_head_apply(
+            params["W_l"], state["W_l"], L_f.astype(cfg.compute_dtype), cfg, train,
+            input_dropout=cfg.label_embedding_dropout, rng=rng_l,
+            rows_mask=None if label_mask is None else label_mask[:, None],
+        )
+        new_state["W_l"] = wl_s
 
     if cfg.feature_fusion == "similarity":
         logits = similarity_logits(P_e, L_e, cfg.temperature)

@@ -214,6 +214,22 @@ def make_eval_step(
             enc_params, ts["enc_state"], batch["aa_ids"], batch["lengths"],
             pi_cfg, train=False,
         )
+        if "label_latents" in batch:
+            # precomputed W_l projections (batch-invariant eval label layout
+            # -> the label tower runs once per evaluation, not per step)
+            logits, _ = protnote_forward(
+                ts["trainable"]["protnote"], ts["model_state"], P_f,
+                None, pn_cfg, train=False,
+                label_latents=batch["label_latents"],
+            )
+            out = {"logits": logits.astype(jnp.float32)}
+            if loss_fn is not None and batch.get("label_multihots") is not None:
+                mask = _pair_mask(
+                    batch["example_mask"], batch["label_multihots"].shape[1],
+                    batch.get("label_mask"),
+                )
+                out["loss"] = loss_fn(logits, batch["label_multihots"], mask=mask)
+            return out
         if text_cfg is not None and "label_input_ids" in batch:
             from protnote_tpu.models.text_transformer import (
                 pool_hidden_states_jnp,

@@ -306,6 +306,46 @@ class Trainer:
             out["label_matrix"] = label_matrix  # already resident on the mesh
         return out
 
+    # ---------------- eval label-latent precompute ----------------
+
+    def _latents_eligible(self, batcher) -> bool:
+        """The eval label layout is batch-invariant iff no per-batch label
+        re-selection happens — then W_l can project the resident matrix once
+        per evaluation instead of once per step."""
+        from protnote_tpu.data.batching import GridBatcher
+
+        ds = batcher.ds
+        return (
+            self.text_cfg is None
+            and self.pn_cfg.label_embedding_pooling_method != "all"
+            and not isinstance(batcher, GridBatcher)
+            and not getattr(batcher, "shuffle_labels", False)
+            and not getattr(batcher, "in_batch_sampling", False)
+            and not (ds.cfg.is_train and ds.cfg.label_augmentation_descriptions)
+        )
+
+    def _label_latents(self, arrays: Dict[str, Any]):
+        """Project the gathered label rows through W_l once (jitted)."""
+        if not hasattr(self, "_latents_fn"):
+            from protnote_tpu.models.fusion import compute_label_latents
+
+            @jax.jit
+            def f(ts, matrix, rows):
+                L_f = jnp.take(matrix, rows, axis=0)
+                return compute_label_latents(
+                    ts["trainable"]["protnote"], ts["model_state"], L_f,
+                    self.pn_cfg,
+                )
+
+            self._latents_fn = f
+        return self._latents_fn(self.ts, arrays["label_matrix"], arrays["label_rows"])
+
+    def _swap_in_latents(self, arrays: Dict[str, Any], latents) -> Dict[str, Any]:
+        out = {k: v for k, v in arrays.items()
+               if k not in ("label_rows", "label_matrix")}
+        out["label_latents"] = latents
+        return out
+
     # ---------------- checkpoints ----------------
 
     def _ckpt_path(self, kind: str) -> str:
@@ -564,8 +604,14 @@ class Trainer:
             self._label_matrix_for(batcher.ds)
             if getattr(batcher, "device_label_gather", False) else None
         )
+        latents = None
+        latents_ok = self._latents_eligible(batcher)
         for batch_idx, batch in enumerate(batcher):
             arrays = self._place(batch_to_device_dict(batch), batch, label_matrix)
+            if latents_ok and "label_rows" in arrays:
+                if latents is None:  # label layout is batch-invariant here
+                    latents = self._label_latents(arrays)
+                arrays = self._swap_in_latents(arrays, latents)
             out = self._eval_step(self.ts, arrays)
             # periodic sequence-embedding export (reference exports embeddings
             # every 100 eval batches, ProtNoteTrainer.py:551-586)
@@ -712,8 +758,14 @@ class Trainer:
             self._label_matrix_for(batcher.ds)
             if getattr(batcher, "device_label_gather", False) else None
         )
+        latents = None
+        latents_ok = self._latents_eligible(batcher)
         for batch in batcher:
             arrays = self._place(batch_to_device_dict(batch), batch, label_matrix)
+            if latents_ok and "label_rows" in arrays:
+                if latents is None:
+                    latents = self._label_latents(arrays)
+                arrays = self._swap_in_latents(arrays, latents)
             out = self._eval_step(self.ts, arrays)
             acc = count(
                 acc, out["logits"], arrays["label_multihots"],

@@ -145,6 +145,48 @@ def test_eval_step_gather_matches_materialized(rng):
     )
 
 
+def test_eval_step_precomputed_latents_match(rng):
+    """label_latents (W_l projected once per evaluation) == per-step
+    projection of the gathered rows."""
+    from protnote_tpu.models.fusion import (
+        ProtNoteConfig, compute_label_latents, init_protnote,
+    )
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state, make_eval_step
+
+    PI = ProteInferConfig(output_channels=32, kernel_size=5, num_resnet_blocks=2,
+                          num_labels=8)
+    PN = ProtNoteConfig(protein_embedding_dim=32, label_embedding_dim=16,
+                        latent_dim=16, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2, output_mlp_hidden_dim_scale_factor=2,
+                        inference_descriptions_per_label=2)
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
+    ev = make_eval_step(PI, PN)
+
+    B, T, L, M, D = 4, 32, 10, 24, 16
+    matrix = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, M, (L * 2,)).astype(np.int32))  # k=2
+    base = {
+        "aa_ids": jnp.asarray(rng.integers(0, 20, (B, T)).astype(np.int8)),
+        "lengths": jnp.asarray(rng.integers(8, T, (B,)).astype(np.int32)),
+        "example_mask": jnp.ones((B,), jnp.float32),
+    }
+    out_rows = ev(ts, {**base, "label_rows": rows, "label_matrix": matrix})
+    latents = compute_label_latents(
+        ts["trainable"]["protnote"], ts["model_state"], matrix[rows], PN
+    )
+    out_lat = ev(ts, {**base, "label_latents": latents})
+    np.testing.assert_allclose(
+        np.asarray(out_lat["logits"]), np.asarray(out_rows["logits"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_train_step_gather_sharded_matches(rng, cpu_devices):
     """Gather path under a (dp=2, label=4) mesh == unsharded materialized."""
     from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
