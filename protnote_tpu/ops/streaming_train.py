@@ -122,8 +122,6 @@ def pair_logits_dense_decomposed(
 
     rows = (em[:, None] * lm[None, :]).reshape(B * L, 1)
 
-    from protnote_tpu.models.layers import batchnorm_apply
-
     def post(a, c):
         # analytic layer-1 statistics from the SMALL per-side tensors (f32);
         # every (B*L, H) tensor below stays in compute_dtype — f32 lives only
@@ -146,11 +144,20 @@ def pair_logits_dense_decomposed(
         c2 = (c * inv1 + shift1).astype(compute_dtype)
         h = jax.nn.relu(a2[:, None, :] + c2[None, :, :]).reshape(B * L, H)
         for i in range(1, n_layers):
-            h = linear(layers[i], h)
-            h, bs = batchnorm_apply(bns[i], s["bns"][i], h, True,
-                                    eps=BN_EPS, momentum=BN_MOMENTUM, mask=rows)
-            new_bns.append(bs)
-            h = jax.nn.relu(h)
+            z = linear(layers[i], h)
+            # single-pass moments (E[x^2] - E[x]^2): one HBM read of the
+            # (B*L, H) pre-activation instead of the two sequential
+            # reductions of the generic two-pass batchnorm_apply
+            zf = z.astype(jnp.float32) * rows
+            mean_i = jnp.sum(zf, axis=0) / n_pairs
+            var_i = jnp.maximum(
+                jnp.sum(zf * z.astype(jnp.float32), axis=0) / n_pairs
+                - mean_i * mean_i,
+                0.0,
+            )
+            inv, shift = _affine(bns[i], mean_i, var_i)
+            new_bns.append(_update_running(s["bns"][i], mean_i, var_i, n_pairs))
+            h = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(compute_dtype)
         out = linear(p["out"], h)[..., 0].astype(jnp.float32)
         return out.reshape(B, L), new_bns
 
