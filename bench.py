@@ -39,6 +39,9 @@ def main():
                     help="train bench with gradient checkpointing")
     ap.add_argument("--stream", type=int, default=0, metavar="TILE",
                     help="train bench with the streamed exact-BN scorer")
+    ap.add_argument("--stream-cache", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="streamed path z1 cache (TRAIN_STREAMING_CACHE)")
     ap.add_argument("--kernel-only", action="store_true",
                     help="micro-bench the pair scorer + encoder kernels on "
                          "synthetic device-resident arrays (r1 headline)")
@@ -319,6 +322,8 @@ def main():
         pn_train_cfg = ProtNoteConfig(
             compute_dtype=jnp.bfloat16, gradient_checkpointing=args.remat,
             train_label_tile=args.stream,
+            train_streaming_cache={"auto": None, "on": True, "off": False}[
+                args.stream_cache],
         )
         tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4,
                              "CLIP_VALUE": 1.0})

@@ -69,6 +69,9 @@ class ProtNoteConfig:
     # >0: train with the streamed exact-BN pair scorer (bounded memory for
     # any batch size; ops/streaming_train.py), using this label tile size
     train_label_tile: int = 0
+    # streamed path z1 cache: None = auto (fits-in-HBM heuristic),
+    # True/False = force.  See pair_logits_streaming_train(cache_first=...)
+    train_streaming_cache: Any = None
 
     @property
     def output_mlp_hidden_dim(self) -> int:
@@ -114,6 +117,7 @@ class ProtNoteConfig:
             label_embedding_dropout=params.get("LABEL_EMBEDDING_DROPOUT", 0.0),
             gradient_checkpointing=params.get("GRADIENT_CHECKPOINTING", False),
             train_label_tile=params.get("TRAIN_STREAMING_LABEL_TILE", 0) or 0,
+            train_streaming_cache=params.get("TRAIN_STREAMING_CACHE", None),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -358,6 +362,7 @@ def protnote_forward(
                 params["output_mlp"], om_state, P_e, L_e, cfg.feature_fusion,
                 example_mask=example_mask, label_mask=label_mask,
                 label_tile=cfg.train_label_tile, compute_dtype=cfg.compute_dtype,
+                cache_first=cfg.train_streaming_cache,
             )
             new_state["output_mlp"] = om_s
         elif (

@@ -177,11 +177,23 @@ def pair_logits_streaming_train(
     label_mask: Optional[jnp.ndarray] = None,  # (L,)
     label_tile: int = 2048,
     compute_dtype=jnp.bfloat16,
+    cache_first: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """((B, L) logits, new BN state) — exact train-mode BN, streamed.
 
     Dropout is not supported on this path (the reference default
     OUTPUT_MLP_DROPOUT is 0, base_config.yaml:39).
+
+    ``cache_first`` keeps the first hidden GEMM's output ``z1`` (B·L, H)
+    resident in compute dtype across sweeps.  BatchNorm's full-stream
+    coupling makes the k+1 sweeps sequential, but only layer 1's GEMM is
+    *upstream* of every sweep — caching z1 drops the per-sweep recompute
+    from "all earlier GEMMs" to "GEMMs after layer 1": 3 heavy passes
+    instead of 5 at the flagship depth (1.5x dense FLOPs, down from 2.5x).
+    Costs one (B·L, H) tensor (+ its cotangent during backward): 6.3 GB
+    each at B=32 x 32,102 labels x H=3072 bf16.  ``None`` (auto) enables
+    the cache when z1 + dz1 fit in ~12.6 GB; pass False to force the
+    O(B·tile·H) fully-streamed path for larger shapes.
     """
     if feature_fusion not in ("concatenation", "concatenation_diff"):
         raise ValueError(f"streaming path does not support {feature_fusion}")
@@ -259,28 +271,99 @@ def pair_logits_streaming_train(
     c_tiles = c2_p.reshape(num_tiles, label_tile, -1)
     lm_tiles = lm_p.reshape(num_tiles, label_tile)
 
-    for li in range(1, n_layers):
-        def stat_tile(carry, xs, li=li):
+    if cache_first is None:
+        itemsize = jnp.dtype(compute_dtype).itemsize
+        H2 = layers[1]["kernel"].shape[1] if n_layers > 1 else 0
+        z1_bytes = B * Lp * H2 * itemsize
+        tile_bytes = B * label_tile * H2 * itemsize
+        # peak residency with the cache is z1 + the consuming scan's stacked
+        # cotangent (2x z1) + a few per-tile transients; the boundary was
+        # measured on a 16 GB v5e: B=32/tile=2048 fits, B=32/tile=4096
+        # overflows by ~0.4 GB
+        cache_first = n_layers > 1 and 2 * z1_bytes + 4 * tile_bytes <= 15.2e9
+
+    # ---- optional resident z1 (first hidden GEMM output) ----------------
+    # Sweep A computes z1 per tile — the only GEMM upstream of every later
+    # sweep — stores it in compute dtype, and accumulates layer-1 BN
+    # statistics in the same pass.  z1 then feeds EXACTLY ONE downstream
+    # scan (the layer-2 statistics sweep, or the loss pass when the MLP has
+    # a single hidden layer): each consuming scan's VJP materialises a full
+    # stacked (B*L, H) cotangent for its xs, so a second consumer was
+    # measured to OOM a 16 GB chip at B>=24.  All remaining sweeps
+    # recompute from the tiny per-side tensors like the uncached path.
+    z1_tiles = None
+    z1_spent = False
+    if cache_first and n_layers > 1:
+        H2 = layers[1]["kernel"].shape[1]
+
+        def sweep_a(carry, xs):
             s_sum, s_sq = carry
             c_t, lm_t = xs
 
             def inner(c_t, lm_t):
-                h, rows = forward_to(li, c_t, lm_t)
+                h, rows = tile_h1(c_t, lm_t)
+                z = jnp.dot(h, layers[1]["kernel"].astype(compute_dtype))
+                if "bias" in layers[1]:
+                    z = z + layers[1]["bias"].astype(z.dtype)
+                zf = z.astype(jnp.float32)
+                return (jnp.sum(zf * rows, axis=0),
+                        jnp.sum(zf * zf * rows, axis=0), z)
+
+            ds, dq, z = jax.checkpoint(inner)(c_t, lm_t)
+            return (s_sum + ds, s_sq + dq), z
+
+        (s_sum, s_sq), z1_tiles = jax.lax.scan(
+            sweep_a,
+            (jnp.zeros(H2, jnp.float32), jnp.zeros(H2, jnp.float32)),
+            (c_tiles, lm_tiles),
+        )
+        mean_1 = s_sum / n_pairs
+        var_1 = jnp.maximum(s_sq / n_pairs - mean_1 ** 2, 0.0)
+        affines.append(_affine(bns[1], mean_1, var_1))
+        new_bns.append(_update_running(s["bns"][1], mean_1, var_1, n_pairs))
+
+    def from_z1(layer_idx, z1_t):
+        """h after relu(bn(...)) of layer `layer_idx-1`, restarted from z1."""
+        inv, shift = affines[0]
+        h = jax.nn.relu(z1_t.astype(jnp.float32) * inv + shift).astype(compute_dtype)
+        for i in range(2, layer_idx):
+            z = jnp.dot(h, layers[i]["kernel"].astype(compute_dtype))
+            if "bias" in layers[i]:
+                z = z + layers[i]["bias"].astype(z.dtype)
+            inv, shift = affines[i - 1]
+            h = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(compute_dtype)
+        return h
+
+    for li in range(1 if z1_tiles is None else 2, n_layers):
+        use_z1 = z1_tiles is not None and not z1_spent
+
+        def stat_tile(carry, xs, li=li, use_z1=use_z1):
+            s_sum, s_sq = carry
+            x_t, lm_t = xs
+
+            def inner(x_t, lm_t):
+                if use_z1:
+                    h = from_z1(li, x_t)
+                    rows = (row_mask_b * lm_t[None, :]).reshape(B * label_tile, 1)
+                else:
+                    h, rows = forward_to(li, x_t, lm_t)
                 z = jnp.dot(h, layers[li]["kernel"].astype(compute_dtype))
                 if "bias" in layers[li]:
                     z = z + layers[li]["bias"].astype(z.dtype)
                 zf = z.astype(jnp.float32)
                 return (jnp.sum(zf * rows, axis=0), jnp.sum(zf * zf * rows, axis=0))
 
-            ds, dq = jax.checkpoint(inner)(c_t, lm_t)
+            ds, dq = jax.checkpoint(inner)(x_t, lm_t)
             return (s_sum + ds, s_sq + dq), None
 
         (s_sum, s_sq), _ = jax.lax.scan(
             stat_tile,
             (jnp.zeros(layers[li]["kernel"].shape[1], jnp.float32),
              jnp.zeros(layers[li]["kernel"].shape[1], jnp.float32)),
-            (c_tiles, lm_tiles),
+            (z1_tiles if use_z1 else c_tiles, lm_tiles),
         )
+        if use_z1:
+            z1_spent = True
         mean_i = s_sum / n_pairs
         var_i = jnp.maximum(s_sq / n_pairs - mean_i ** 2, 0.0)
         affines.append(_affine(bns[li], mean_i, var_i))
@@ -289,17 +372,24 @@ def pair_logits_streaming_train(
     # ---- final streamed loss pass ----------------------------------------
     w_out = p["out"]["kernel"][:, 0].astype(jnp.float32)
     b_out = p["out"]["bias"][0].astype(jnp.float32)
+    loss_from_z1 = z1_tiles is not None and not z1_spent
 
     def logit_tile(_, xs):
-        c_t, lm_t = xs
+        x_t, lm_t = xs
 
-        def inner(c_t, lm_t):
-            h, _ = forward_to(n_layers, c_t, lm_t)
+        def inner(x_t, lm_t):
+            if loss_from_z1:
+                h = from_z1(n_layers, x_t)
+            else:
+                h, _ = forward_to(n_layers, x_t, lm_t)
             out = jnp.dot(h, w_out.astype(compute_dtype)).astype(jnp.float32) + b_out
             return out.reshape(B, label_tile)
 
-        return None, jax.checkpoint(inner)(c_t, lm_t)
+        return None, jax.checkpoint(inner)(x_t, lm_t)
 
-    _, tiles = jax.lax.scan(logit_tile, None, (c_tiles, lm_tiles))
+    _, tiles = jax.lax.scan(
+        logit_tile, None,
+        (z1_tiles if loss_from_z1 else c_tiles, lm_tiles),
+    )
     logits = jnp.moveaxis(tiles, 0, 1).reshape(B, Lp)[:, :L]
     return logits, {"bns": new_bns}

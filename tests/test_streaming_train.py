@@ -29,8 +29,9 @@ def setup():
     return params, state, P_e, L_e, em, lm
 
 
+@pytest.mark.parametrize("cache_first", [False, True])
 @pytest.mark.parametrize("fusion", ["concatenation", "concatenation_diff"])
-def test_streaming_matches_dense(setup, fusion):
+def test_streaming_matches_dense(setup, fusion, cache_first):
     params, state, P_e, L_e, em, lm = setup
     if fusion == "concatenation_diff":
         import dataclasses
@@ -45,7 +46,7 @@ def test_streaming_matches_dense(setup, fusion):
     )
     stream_logits, stream_s = pair_logits_streaming_train(
         p, s, P_e, L_e, fusion, example_mask=em, label_mask=lm,
-        label_tile=8, compute_dtype=jnp.float32,
+        label_tile=8, compute_dtype=jnp.float32, cache_first=cache_first,
     )
     valid = np.asarray(pair_mask) > 0
     np.testing.assert_allclose(
@@ -63,7 +64,8 @@ def test_streaming_matches_dense(setup, fusion):
         )
 
 
-def test_streaming_gradients_match_dense(setup):
+@pytest.mark.parametrize("cache_first", [False, True])
+def test_streaming_gradients_match_dense(setup, cache_first):
     params, state, P_e, L_e, em, lm = setup
     p, s = params["output_mlp"], state["output_mlp"]
     pair_mask = em[:, None] * lm[None, :]
@@ -76,7 +78,7 @@ def test_streaming_gradients_match_dense(setup):
     def loss_stream(p_):
         lg, _ = pair_logits_streaming_train(
             p_, s, P_e, L_e, "concatenation", example_mask=em, label_mask=lm,
-            label_tile=8, compute_dtype=jnp.float32,
+            label_tile=8, compute_dtype=jnp.float32, cache_first=cache_first,
         )
         return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
 
@@ -206,3 +208,34 @@ def test_streaming_via_protnote_forward(setup):
         np.asarray(st2["output_mlp"]["bns"][1]["var"]),
         np.asarray(st1["output_mlp"]["bns"][1]["var"]), rtol=2e-3, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("n_layers", [1, 2])
+def test_streaming_cached_shallow_mlp(setup, n_layers):
+    """cache_first with 1-2 MLP layers: the z1 cache feeds the loss pass
+    directly (no deeper statistics sweep), or is skipped at depth 1."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, output_mlp_num_layers=n_layers)
+    params, state = init_protnote(jax.random.PRNGKey(5), cfg2)
+    _, _, P_e, L_e, em, lm = setup
+    p, s = params["output_mlp"], state["output_mlp"]
+
+    pair_mask = em[:, None] * lm[None, :]
+    dense_logits, dense_s = pair_logits_dense(
+        p, s, P_e, L_e, "concatenation", train=True, pair_mask=pair_mask
+    )
+    stream_logits, stream_s = pair_logits_streaming_train(
+        p, s, P_e, L_e, "concatenation", example_mask=em, label_mask=lm,
+        label_tile=8, compute_dtype=jnp.float32, cache_first=True,
+    )
+    valid = np.asarray(pair_mask) > 0
+    np.testing.assert_allclose(
+        np.asarray(stream_logits)[valid], np.asarray(dense_logits)[valid],
+        rtol=2e-4, atol=2e-4,
+    )
+    for i in range(len(s["bns"])):
+        np.testing.assert_allclose(
+            np.asarray(stream_s["bns"][i]["mean"]),
+            np.asarray(dense_s["bns"][i]["mean"]), rtol=2e-4, atol=2e-4,
+        )
