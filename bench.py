@@ -355,7 +355,8 @@ def main():
         print(json.dumps({
             "metric": f"train seqs/sec/chip (ProtNote step: B={B} x {L} GO labels,"
                       f" FocalLoss+Adam{'+remat' if args.remat else ''}"
-                      f"{f'+stream{args.stream}' if args.stream else ''},"
+                      f"{f'+stream{args.stream}' if args.stream else ''}"
+                      f"{f'+zcache_{args.stream_cache}' if args.stream and args.stream_cache != 'auto' else ''},"
                       f" {dev.device_kind}; baseline = per-V100 rate of the"
                       f" reference 8xV100 run)",
             "value": round(seqs_per_sec, 2),

@@ -14,8 +14,9 @@ This module computes the *exact* same function with bounded memory:
   ``mean = mean_b(a) + mean_l(c)`` and ``var = var_b(a) + var_l(c)`` —
   no pass over pairs at all.
 * **Layers 2..n statistics stream.**  A ``lax.scan`` over label tiles
-  accumulates per-feature sum/sum-of-squares of each layer's
-  pre-activations (f32), one extra forward GEMM pass per additional layer.
+  accumulates per-feature running-mean-shifted first/second moments of each
+  layer's pre-activations (f32, cancellation-safe — see
+  ``_shifted_moments``), one extra forward GEMM pass per additional layer.
 * **The loss pass streams too**, with ``jax.checkpoint`` per tile so the
   backward rematerialises tile activations instead of storing them.
 
@@ -52,6 +53,22 @@ def _affine(p_bn: Params, mean: jnp.ndarray, var: jnp.ndarray) -> Tuple[jnp.ndar
     inv = jax.lax.rsqrt(var + BN_EPS) * p_bn["scale"].astype(jnp.float32)
     shift = p_bn["bias"].astype(jnp.float32) - mean * inv
     return inv, shift
+
+
+def _shifted_moments(z: jnp.ndarray, rows: jnp.ndarray, n,
+                     running_mean: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pass per-feature (mean, biased var) over masked rows.
+
+    Uses the shifted formulation var = E[(z-r)^2] - (E[z-r])^2 with the
+    (constant, gradient-stopped) running mean as the shift r — algebraically
+    exact for any constant r, and numerically safe where the naive
+    E[z^2]-E[z]^2 catastrophically cancels once |mean| >> std in f32."""
+    r = jax.lax.stop_gradient(running_mean.astype(jnp.float32))
+    zc = z.astype(jnp.float32) - r
+    zm = zc * rows
+    s1 = jnp.sum(zm, axis=0) / n
+    s2 = jnp.sum(zm * zc, axis=0) / n
+    return s1 + r, jnp.maximum(s2 - s1 * s1, 0.0)
 
 
 def _update_running(s_bn: Params, mean: jnp.ndarray, var: jnp.ndarray, n) -> Params:
@@ -145,16 +162,14 @@ def pair_logits_dense_decomposed(
         h = jax.nn.relu(a2[:, None, :] + c2[None, :, :]).reshape(B * L, H)
         for i in range(1, n_layers):
             z = linear(layers[i], h)
-            # single-pass moments (E[x^2] - E[x]^2): one HBM read of the
-            # (B*L, H) pre-activation instead of the two sequential
-            # reductions of the generic two-pass batchnorm_apply
-            zf = z.astype(jnp.float32) * rows
-            mean_i = jnp.sum(zf, axis=0) / n_pairs
-            var_i = jnp.maximum(
-                jnp.sum(zf * z.astype(jnp.float32), axis=0) / n_pairs
-                - mean_i * mean_i,
-                0.0,
-            )
+            # single-pass moments in one HBM read of the (B*L, H)
+            # pre-activation (vs the two sequential reductions of the generic
+            # batchnorm_apply), shifted by the constant running mean r:
+            # var = E[(z-r)^2] - (E[z-r])^2 holds exactly for any constant r,
+            # and with r ~ mean it is cancellation-safe where the naive
+            # E[z^2]-E[z]^2 loses all f32 digits once |mean| >> std
+            mean_i, var_i = _shifted_moments(
+                z, rows, n_pairs, s["bns"][i]["mean"])
             inv, shift = _affine(bns[i], mean_i, var_i)
             new_bns.append(_update_running(s["bns"][i], mean_i, var_i, n_pairs))
             h = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(compute_dtype)
@@ -185,15 +200,16 @@ def pair_logits_streaming_train(
     OUTPUT_MLP_DROPOUT is 0, base_config.yaml:39).
 
     ``cache_first`` keeps the first hidden GEMM's output ``z1`` (B·L, H)
-    resident in compute dtype across sweeps.  BatchNorm's full-stream
-    coupling makes the k+1 sweeps sequential, but only layer 1's GEMM is
-    *upstream* of every sweep — caching z1 drops the per-sweep recompute
-    from "all earlier GEMMs" to "GEMMs after layer 1": 3 heavy passes
-    instead of 5 at the flagship depth (1.5x dense FLOPs, down from 2.5x).
-    Costs one (B·L, H) tensor (+ its cotangent during backward): 6.3 GB
-    each at B=32 x 32,102 labels x H=3072 bf16.  ``None`` (auto) enables
-    the cache when z1 + dz1 fit in ~12.6 GB; pass False to force the
-    O(B·tile·H) fully-streamed path for larger shapes.
+    resident in compute dtype.  BatchNorm's full-stream coupling makes the
+    k+1 sweeps sequential, and z1 may feed only ONE downstream scan (each
+    consuming scan's VJP stacks a full-size cotangent for its xs; two
+    consumers were measured to OOM a 16 GB chip) — so at the flagship depth
+    (3 hidden layers) the layer-2 statistics sweep starts from z1 and the
+    loss pass recomputes: 4 heavy GEMM passes instead of 5, measured
+    13.6 -> 16.1 seqs/s at B=32 x 32,102 labels.  Costs one (B·L, H) bf16
+    tensor + its cotangent (6.3 GB each at that shape).  ``None`` (auto)
+    enables the cache when 2*z1 plus per-tile transients fit the device
+    HBM budget; pass False to force the O(B·tile·H) fully-streamed path.
     """
     if feature_fusion not in ("concatenation", "concatenation_diff"):
         raise ValueError(f"streaming path does not support {feature_fusion}")
@@ -261,9 +277,7 @@ def pair_logits_streaming_train(
         layer `layer_idx`'s linear."""
         h, rows = tile_h1(c_t, lm_t)
         for i in range(1, layer_idx):
-            z = jnp.dot(h, layers[i]["kernel"].astype(compute_dtype))
-            if "bias" in layers[i]:
-                z = z + layers[i]["bias"].astype(z.dtype)
+            z = linear(layers[i], h)
             inv, shift = affines[i - 1]
             h = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(compute_dtype)
         return h, rows
@@ -278,9 +292,17 @@ def pair_logits_streaming_train(
         tile_bytes = B * label_tile * H2 * itemsize
         # peak residency with the cache is z1 + the consuming scan's stacked
         # cotangent (2x z1) + a few per-tile transients; the boundary was
-        # measured on a 16 GB v5e: B=32/tile=2048 fits, B=32/tile=4096
-        # overflows by ~0.4 GB
-        cache_first = n_layers > 1 and 2 * z1_bytes + 4 * tile_bytes <= 15.2e9
+        # measured on a 16 GB v5e (15.75 GB usable): B=32/tile=2048 fits,
+        # B=32/tile=4096 overflows by ~0.4 GB.  Scale to the actual device
+        # HBM when the backend reports it (CPU test backends don't).
+        budget = 15.2e9
+        try:
+            limit = jax.devices()[0].memory_stats().get("bytes_limit")
+            if limit:
+                budget = limit - 0.55e9
+        except Exception:
+            pass
+        cache_first = n_layers > 1 and 2 * z1_bytes + 4 * tile_bytes <= budget
 
     # ---- optional resident z1 (first hidden GEMM output) ----------------
     # Sweep A computes z1 per tile — the only GEMM upstream of every later
@@ -296,18 +318,20 @@ def pair_logits_streaming_train(
     if cache_first and n_layers > 1:
         H2 = layers[1]["kernel"].shape[1]
 
+        r1 = jax.lax.stop_gradient(s["bns"][1]["mean"].astype(jnp.float32))
+
         def sweep_a(carry, xs):
             s_sum, s_sq = carry
             c_t, lm_t = xs
 
             def inner(c_t, lm_t):
                 h, rows = tile_h1(c_t, lm_t)
-                z = jnp.dot(h, layers[1]["kernel"].astype(compute_dtype))
-                if "bias" in layers[1]:
-                    z = z + layers[1]["bias"].astype(z.dtype)
-                zf = z.astype(jnp.float32)
-                return (jnp.sum(zf * rows, axis=0),
-                        jnp.sum(zf * zf * rows, axis=0), z)
+                z = linear(layers[1], h)
+                # shifted accumulators (see _shifted_moments): exact for the
+                # constant shift r1, cancellation-safe vs naive E[z^2]-E[z]^2
+                zc = z.astype(jnp.float32) - r1
+                zm = zc * rows
+                return (jnp.sum(zm, axis=0), jnp.sum(zm * zc, axis=0), z)
 
             ds, dq, z = jax.checkpoint(inner)(c_t, lm_t)
             return (s_sum + ds, s_sq + dq), z
@@ -317,8 +341,9 @@ def pair_logits_streaming_train(
             (jnp.zeros(H2, jnp.float32), jnp.zeros(H2, jnp.float32)),
             (c_tiles, lm_tiles),
         )
-        mean_1 = s_sum / n_pairs
-        var_1 = jnp.maximum(s_sq / n_pairs - mean_1 ** 2, 0.0)
+        s1 = s_sum / n_pairs
+        mean_1 = s1 + r1
+        var_1 = jnp.maximum(s_sq / n_pairs - s1 * s1, 0.0)
         affines.append(_affine(bns[1], mean_1, var_1))
         new_bns.append(_update_running(s["bns"][1], mean_1, var_1, n_pairs))
 
@@ -327,17 +352,16 @@ def pair_logits_streaming_train(
         inv, shift = affines[0]
         h = jax.nn.relu(z1_t.astype(jnp.float32) * inv + shift).astype(compute_dtype)
         for i in range(2, layer_idx):
-            z = jnp.dot(h, layers[i]["kernel"].astype(compute_dtype))
-            if "bias" in layers[i]:
-                z = z + layers[i]["bias"].astype(z.dtype)
+            z = linear(layers[i], h)
             inv, shift = affines[i - 1]
             h = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(compute_dtype)
         return h
 
     for li in range(1 if z1_tiles is None else 2, n_layers):
         use_z1 = z1_tiles is not None and not z1_spent
+        r_li = jax.lax.stop_gradient(s["bns"][li]["mean"].astype(jnp.float32))
 
-        def stat_tile(carry, xs, li=li, use_z1=use_z1):
+        def stat_tile(carry, xs, li=li, use_z1=use_z1, r_li=r_li):
             s_sum, s_sq = carry
             x_t, lm_t = xs
 
@@ -347,11 +371,10 @@ def pair_logits_streaming_train(
                     rows = (row_mask_b * lm_t[None, :]).reshape(B * label_tile, 1)
                 else:
                     h, rows = forward_to(li, x_t, lm_t)
-                z = jnp.dot(h, layers[li]["kernel"].astype(compute_dtype))
-                if "bias" in layers[li]:
-                    z = z + layers[li]["bias"].astype(z.dtype)
-                zf = z.astype(jnp.float32)
-                return (jnp.sum(zf * rows, axis=0), jnp.sum(zf * zf * rows, axis=0))
+                z = linear(layers[li], h)
+                zc = z.astype(jnp.float32) - r_li
+                zm = zc * rows
+                return (jnp.sum(zm, axis=0), jnp.sum(zm * zc, axis=0))
 
             ds, dq = jax.checkpoint(inner)(x_t, lm_t)
             return (s_sum + ds, s_sq + dq), None
@@ -364,8 +387,9 @@ def pair_logits_streaming_train(
         )
         if use_z1:
             z1_spent = True
-        mean_i = s_sum / n_pairs
-        var_i = jnp.maximum(s_sq / n_pairs - mean_i ** 2, 0.0)
+        s1 = s_sum / n_pairs
+        mean_i = s1 + r_li
+        var_i = jnp.maximum(s_sq / n_pairs - s1 * s1, 0.0)
         affines.append(_affine(bns[li], mean_i, var_i))
         new_bns.append(_update_running(s["bns"][li], mean_i, var_i, n_pairs))
 

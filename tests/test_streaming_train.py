@@ -239,3 +239,51 @@ def test_streaming_cached_shallow_mlp(setup, n_layers):
             np.asarray(stream_s["bns"][i]["mean"]),
             np.asarray(dense_s["bns"][i]["mean"]), rtol=2e-4, atol=2e-4,
         )
+        np.testing.assert_allclose(
+            np.asarray(stream_s["bns"][i]["var"]),
+            np.asarray(dense_s["bns"][i]["var"]), rtol=2e-3, atol=2e-4,
+        )
+
+    # gradient parity too: at depth 2 the z1 cotangent flows from the LOSS
+    # scan (loss_from_z1=True) back into sweep_a — a distinct VJP route from
+    # the depth-3 case where the layer-2 statistics sweep consumes z1
+    from jax.flatten_util import ravel_pytree
+
+    def loss_dense(p_):
+        lg, _ = pair_logits_dense(p_, s, P_e, L_e, "concatenation",
+                                  train=True, pair_mask=pair_mask)
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    def loss_stream(p_):
+        lg, _ = pair_logits_streaming_train(
+            p_, s, P_e, L_e, "concatenation", example_mask=em, label_mask=lm,
+            label_tile=8, compute_dtype=jnp.float32, cache_first=True,
+        )
+        return jnp.sum((jax.nn.sigmoid(lg) * pair_mask) ** 2)
+
+    flat1, _ = ravel_pytree(jax.grad(loss_dense)(p))
+    flat2, _ = ravel_pytree(jax.grad(loss_stream)(p))
+    np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_shifted_moments_large_mean():
+    """The shifted single-pass variance stays accurate where the naive
+    E[z^2]-E[z]^2 formulation catastrophically cancels in f32
+    (|mean| >> std)."""
+    from protnote_tpu.ops.streaming_train import _shifted_moments
+
+    rng = np.random.default_rng(0)
+    true_std = 0.1
+    true_mean = 2000.0
+    z = jnp.asarray((true_mean + true_std * rng.normal(size=(4096, 4))).astype(np.float32))
+    rows = jnp.ones((4096, 1), jnp.float32)
+    # running mean close to (but not equal to) the batch mean, as in training
+    running = jnp.full((4,), true_mean * 1.001, jnp.float32)
+    mean, var = _shifted_moments(z, rows, 4096.0, running)
+    np.testing.assert_allclose(np.asarray(mean), z.mean(axis=0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.var(np.asarray(z), axis=0),
+                               rtol=1e-2)
+    # the naive formulation loses everything at this scale
+    naive = float(jnp.mean(z[:, 0] ** 2) - jnp.mean(z[:, 0]) ** 2)
+    assert not np.isclose(naive, true_std ** 2, rtol=0.5)
