@@ -49,6 +49,9 @@ def main():
                     help="end-to-end bench: generated FASTA -> dataset -> "
                          "batcher -> device -> logits readback (DEFAULT)")
     ap.add_argument("--pipeline-seqs", type=int, default=10000)
+    ap.add_argument("--pipeline-metrics", action="store_true",
+                    help="pipeline mode with full on-device eval metrics "
+                         "(DeviceEvalAccumulator) instead of logits readback")
     ap.add_argument("--text-tower", action="store_true",
                     help="benchmark the zero-shot JAX text tower (E5-large "
                          "shapes) on-chip: labels embedded per second")
@@ -180,7 +183,8 @@ def main():
     results = {}
     log("setup done")
 
-    if args.pipeline or not (args.kernel_only or args.train or args.text_tower):
+    if args.pipeline or args.pipeline_metrics or not (
+            args.kernel_only or args.train or args.text_tower):
         # End-to-end framework throughput (VERDICT r1 #1): a generated FASTA
         # flows through the real read->dataset->batcher->device->readback
         # path with the device-resident label matrix and prefetch, like
@@ -231,7 +235,8 @@ def main():
         log("dataset built")
 
         batcher = PrefetchBatcher(
-            BucketBatcher(ds, B, buckets=(T,), return_label_multihots=False,
+            BucketBatcher(ds, B, buckets=(T,),
+                          return_label_multihots=args.pipeline_metrics,
                           device_label_gather=True),
             prefetch=2,
         )
@@ -276,6 +281,58 @@ def main():
             # readback in f16 (the export dtype, results_io.py) — halves the
             # tunnel transfer per batch
             return ev(ts, arrays)["logits"].astype(jnp.float16)
+
+        if args.pipeline_metrics:
+            # Full evaluation loop: every batch's logits feed the on-device
+            # metric accumulator (confusion + samplewise + binned AUPRC
+            # histograms — the ESTIMATE_MAP fast path of trainer.evaluate);
+            # logits never leave the chip.  Timing includes the final
+            # metric computation on host.
+            from protnote_tpu.evaln.metrics import (
+                DeviceEvalAccumulator, EvalMetrics,
+            )
+
+            @jax.jit
+            def ev_logits(ts, arrays):
+                return ev(ts, arrays)["logits"]
+
+            acc = DeviceEvalAccumulator(L, 0.5)
+            warm = swap(arrays)
+            acc.update(ev_logits(ts, warm), warm["label_multihots"],
+                       warm["example_mask"])
+            acc = DeviceEvalAccumulator(L, 0.5)  # reset after warmup
+            log("compiled")
+
+            t0 = time.perf_counter()
+            done_seqs = 0
+            nb = 0
+            for batch in batcher:
+                arrays = swap(batch_to_device_dict(batch))
+                acc.update(ev_logits(ts, arrays), arrays["label_multihots"],
+                           arrays["example_mask"])
+                done_seqs += int(batch.example_mask.sum())
+                nb += 1
+                if nb % 25 == 0:
+                    log(f"{done_seqs} seqs, {done_seqs/(time.perf_counter()-t0):.1f} seqs/s")
+            metrics = EvalMetrics(num_labels=L, threshold=0.5, map_estimate=True)
+            acc.merge_into(metrics)
+            final = metrics.compute()
+            dt = time.perf_counter() - t0
+            seqs_per_sec = done_seqs / dt
+            pairs_per_sec = done_seqs * L / dt
+            log(f"eval metrics: map_micro={final['map_micro']:.4f} "
+                f"f1_micro={final['f1_micro']:.4f}")
+            log(f"pipeline+metrics: {done_seqs} seqs in {dt:.1f}s -> "
+                f"{seqs_per_sec:.1f} seqs/s")
+            print(json.dumps({
+                "metric": f"eval pair_scores/sec/chip (FASTA->batcher->device->"
+                          f"on-device metrics incl. final compute, {n} seqs x "
+                          f"{L} GO labels, {dev.device_kind})",
+                "value": round(pairs_per_sec),
+                "unit": "pair_scores/sec",
+                "vs_baseline": round(pairs_per_sec / 50_000.0, 2),
+            }))
+            return
 
         np.asarray(ev16(ts, swap(arrays)))
         log("compiled")
