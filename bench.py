@@ -315,7 +315,7 @@ def main():
                 if nb % 25 == 0:
                     log(f"{done_seqs} seqs, {done_seqs/(time.perf_counter()-t0):.1f} seqs/s")
             metrics = EvalMetrics(num_labels=L, threshold=0.5, map_estimate=True)
-            acc.merge_into(metrics)
+            acc.finalize_into(metrics)
             final = metrics.compute()
             dt = time.perf_counter() - t0
             seqs_per_sec = done_seqs / dt

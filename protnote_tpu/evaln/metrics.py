@@ -397,6 +397,17 @@ class BinnedAUPRC:
         return {"map_micro": float(micro), "map_macro": macro}
 
 
+class _PrecomputedAUPRC:
+    """AP result already reduced (on device by finalize_into); satisfies the
+    EvalMetrics.auprc compute() contract without holding histograms."""
+
+    def __init__(self, micro: float, macro: float):
+        self._result = {"map_micro": micro, "map_macro": macro}
+
+    def compute(self) -> Dict[str, float]:
+        return dict(self._result)
+
+
 # ----------------------------------------------------------------------
 # All-on-device eval accumulation (ESTIMATE_MAP fast path)
 
@@ -477,6 +488,53 @@ class DeviceEvalAccumulator:
                 cols = jnp.pad(cols, (0, L - cols.shape[0]))
         self.state = self._update(self.state, logits, targets, example_mask,
                                   label_mask, cols)
+
+    def finalize_into(self, metrics: "EvalMetrics") -> None:
+        """Like merge_into, but the binned AP is computed ON DEVICE.
+
+        Only the (num_labels,) per-label APs, the micro AP, and the small
+        confusion/samplewise counters cross the host boundary — not the
+        2 x (num_labels x num_bins) histograms (131 MB at 32k labels),
+        whose readback + host cumsum dominated large evals."""
+        nb = self.num_bins
+
+        def _ap(pos, neg):
+            tp = jnp.cumsum(pos[..., ::-1].astype(jnp.float32), axis=-1)
+            fp = jnp.cumsum(neg[..., ::-1].astype(jnp.float32), axis=-1)
+            n_pos = tp[..., -1:]
+            precision = tp / jnp.maximum(tp + fp, 1.0)
+            recall = tp / jnp.maximum(n_pos, 1.0)
+            recall_prev = jnp.concatenate(
+                [jnp.zeros_like(recall[..., :1]), recall[..., :-1]], axis=-1)
+            ap = jnp.sum((recall - recall_prev) * precision, axis=-1)
+            return ap, n_pos[..., 0]
+
+        def _finalize(state):
+            pos = state["pos"].reshape(self.num_labels, nb)
+            neg = state["neg"].reshape(self.num_labels, nb)
+            ap_l, npos_l = _ap(pos, neg)
+            micro, npos_all = _ap(jnp.sum(pos, axis=0), jnp.sum(neg, axis=0))
+            valid = npos_l > 0
+            macro = jnp.sum(jnp.where(valid, ap_l, 0.0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+            micro = jnp.where(npos_all > 0, micro, jnp.nan)
+            macro = jnp.where(jnp.any(valid), macro, jnp.nan)
+            return micro, macro
+
+        micro, macro = jax.jit(_finalize)(self.state)
+        s = {k: np.asarray(v) for k, v in self.state.items()
+             if k not in ("pos", "neg")}
+        if metrics.confusion is not None:
+            metrics.confusion.merge_counts(s["tp"], s["fp"], s["fn"])
+        if metrics.samplewise is not None:
+            sw = metrics.samplewise
+            sw.precision_sum += float(s["precision_sum"])
+            sw.precision_count += int(s["precision_count"])
+            sw.recall_sum += float(s["recall_sum"])
+            sw.recall_count += int(s["recall_count"])
+            sw.covered += int(s["covered"])
+            sw.total += int(s["recall_count"])
+        metrics.auprc = _PrecomputedAUPRC(float(micro), float(macro))
 
     def merge_into(self, metrics: "EvalMetrics") -> None:
         s = {k: np.asarray(v) for k, v in self.state.items()}

@@ -672,7 +672,7 @@ class Trainer:
 
         result: Dict[str, Any] = {}
         if device_acc is not None:
-            device_acc.merge_into(metrics)
+            device_acc.finalize_into(metrics)
         m = metrics.compute()
         if losses:
             m["loss"] = float(np.mean([float(x) for x in losses]))

@@ -149,3 +149,27 @@ def test_large_scale_micro_memory_bounded(rng):
     assert acc._micro_pos.shape == (65536,)
     out = acc.compute()
     assert 0.0 <= out["map_micro"] <= 1.0
+
+
+def test_device_finalize_matches_host(rng):
+    """finalize_into (AP reduced on device, no histogram readback) matches
+    the host-side merge_into + BinnedAUPRC.compute path."""
+    import jax.numpy as jnp
+
+    L = 12
+    host = EvalMetrics(num_labels=L, threshold=0.4, map_estimate=True)
+    dev = DeviceEvalAccumulator(L, threshold=0.4)
+    for step in range(3):
+        logits = rng.normal(size=(9, L)).astype(np.float32)
+        targets = (rng.random((9, L)) < 0.3).astype(np.float32)
+        mask = np.ones(9, np.float32)
+        mask[7:] = 0
+        probs = 1 / (1 + np.exp(-logits))
+        host.update(probs[mask > 0], targets[mask > 0])
+        dev.update(jnp.asarray(logits), jnp.asarray(targets),
+                   jnp.asarray(mask), None, None)
+    target = EvalMetrics(num_labels=L, threshold=0.4, map_estimate=True)
+    dev.finalize_into(target)
+    hm, dm = host.compute(), target.compute()
+    for k in hm:
+        assert dm[k] == pytest.approx(hm[k], abs=1e-5), k
