@@ -429,8 +429,10 @@ class DeviceEvalAccumulator:
             "tp": jnp.zeros(num_labels, jnp.int32),
             "fp": jnp.zeros(num_labels, jnp.int32),
             "fn": jnp.zeros(num_labels, jnp.int32),
-            "pos": jnp.zeros(num_labels * num_bins, jnp.int32),
-            "neg": jnp.zeros(num_labels * num_bins, jnp.int32),
+            # pos then neg histograms in ONE buffer: a single scatter-add
+            # serves both (negatives offset into the second half), halving
+            # the per-batch scattered element count vs two scatters
+            "hist": jnp.zeros(2 * num_labels * num_bins, jnp.int32),
             "precision_sum": jnp.zeros((), jnp.float32),
             "precision_count": jnp.zeros((), jnp.int32),
             "recall_sum": jnp.zeros((), jnp.float32),
@@ -438,6 +440,7 @@ class DeviceEvalAccumulator:
             "covered": jnp.zeros((), jnp.int32),
         }
         th, nb = self.threshold, self.num_bins
+        half = num_labels * num_bins
 
         def _update(state, logits, targets, example_mask, label_mask, cols):
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -465,12 +468,13 @@ class DeviceEvalAccumulator:
                 jnp.where(row_valid, r, 0.0))
             new["recall_count"] = state["recall_count"] + jnp.sum(row_valid)
             new["covered"] = state["covered"] + jnp.sum(has_pred)
-            # binned AUPRC histograms, scattered into full-vocab rows
+            # binned AUPRC histograms, scattered into full-vocab rows; one
+            # scatter covers positives and negatives (invalid elements
+            # contribute +0 wherever they land)
             bins = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
-            flat = (cols[None, :] * nb + bins).reshape(-1)
-            new["pos"] = state["pos"].at[flat].add(t.reshape(-1).astype(jnp.int32))
-            new["neg"] = state["neg"].at[flat].add(
-                ((targets <= 0) & valid).reshape(-1).astype(jnp.int32))
+            flat = cols[None, :] * nb + bins + jnp.where(t, 0, half)
+            new["hist"] = state["hist"].at[flat.reshape(-1)].add(
+                valid.reshape(-1).astype(jnp.int32))
             return new
 
         self._update = jax.jit(_update, donate_argnums=(0,))
@@ -510,8 +514,9 @@ class DeviceEvalAccumulator:
             return ap, n_pos[..., 0]
 
         def _finalize(state):
-            pos = state["pos"].reshape(self.num_labels, nb)
-            neg = state["neg"].reshape(self.num_labels, nb)
+            half = self.num_labels * nb
+            pos = state["hist"][:half].reshape(self.num_labels, nb)
+            neg = state["hist"][half:].reshape(self.num_labels, nb)
             ap_l, npos_l = _ap(pos, neg)
             micro, npos_all = _ap(jnp.sum(pos, axis=0), jnp.sum(neg, axis=0))
             valid = npos_l > 0
@@ -522,8 +527,7 @@ class DeviceEvalAccumulator:
             return micro, macro
 
         micro, macro = jax.jit(_finalize)(self.state)
-        s = {k: np.asarray(v) for k, v in self.state.items()
-             if k not in ("pos", "neg")}
+        s = {k: np.asarray(v) for k, v in self.state.items() if k != "hist"}
         if metrics.confusion is not None:
             metrics.confusion.merge_counts(s["tp"], s["fp"], s["fn"])
         if metrics.samplewise is not None:
@@ -551,9 +555,10 @@ class DeviceEvalAccumulator:
         if not isinstance(metrics.auprc, BinnedAUPRC):
             raise ValueError("device accumulation produces binned AUPRC; "
                              "construct EvalMetrics with map_estimate=True")
+        half = self.num_labels * self.num_bins
         metrics.auprc.merge(
-            s["pos"].reshape(metrics.auprc.pos.shape),
-            s["neg"].reshape(metrics.auprc.neg.shape),
+            s["hist"][:half].reshape(metrics.auprc.pos.shape),
+            s["hist"][half:].reshape(metrics.auprc.neg.shape),
         )
 
 

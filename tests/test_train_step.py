@@ -215,3 +215,30 @@ def test_checkpoint_roundtrip(setup, rng, tmp_path):
         np.asarray(b["trainable"]["protnote"]["output_mlp"]["out"]["kernel"]),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_sharded_streamed_matches_replicated(setup, rng):
+    """The streamed exact-BN scorer (TRAIN_STREAMING_LABEL_TILE) under a
+    dp-sharded mesh == single-device — the beyond-HBM path must shard over
+    the batch axis like the dense path (the label axis stays local to the
+    tile scan)."""
+    import dataclasses
+
+    ts, tx, loss_fn = setup
+    pn_stream = dataclasses.replace(PN, train_label_tile=8, train_streaming_cache=True)
+    step = make_train_step(PI, pn_stream, loss_fn, tx, donate=False)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(3)
+
+    ts_ref, m_ref = step(ts, batch, key)
+
+    mesh = make_mesh(MeshSpec(dp=8, label=1))
+    sh = shardings_for_batch(mesh)
+    ts_sharded = jax.device_put(ts, replicated(mesh))
+    batch_sharded = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+    ts_out, m_out = step(ts_sharded, batch_sharded, key)
+
+    assert abs(float(m_ref["loss"]) - float(m_out["loss"])) < 1e-5
+    a = np.asarray(ts_ref["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
+    b = np.asarray(ts_out["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
