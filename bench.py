@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--details", action="store_true")
-    ap.add_argument("--backend", choices=["auto", "tiled"], default="auto")
+    ap.add_argument("--backend", choices=["auto", "tiled", "int8"], default="auto")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full training step instead of inference")
     ap.add_argument("--remat", action="store_true",
@@ -134,7 +134,10 @@ def main():
         return
 
     pi_cfg = ProteInferConfig()  # full-size: 1100 channels, 5 blocks
-    pn_cfg = ProtNoteConfig(compute_dtype=jnp.bfloat16)
+    pn_cfg = ProtNoteConfig(
+        compute_dtype=jnp.bfloat16,
+        pair_backend="tiled_int8" if args.backend == "int8" else "auto",
+    )
     # Initialize parameters on the host CPU backend: dispatching dozens of
     # tiny PRNG programs over the TPU tunnel is latency-bound; one bulk
     # transfer at first use is far cheaper.
@@ -440,6 +443,19 @@ def main():
     )
     results["tiled"] = timeit_chained(tiled_step, P_e)
     log(f"tiled done: {results['tiled']*1e3:.1f} ms")
+
+    if args.backend == "int8":
+        from protnote_tpu.ops.pair_scorer import (
+            pair_logits_tiled_int8, quantize_folded,
+        )
+
+        q = quantize_folded(folded)
+        int8_step = chain_pair(
+            lambda p, l: pair_logits_tiled_int8(q, p, l, label_tile=512,
+                                                compute_dtype=jnp.bfloat16)
+        )
+        results["tiled_int8"] = timeit_chained(int8_step, P_e)
+        log(f"tiled_int8 done: {results['tiled_int8']*1e3:.1f} ms")
 
     # Encoder forward (dilated CNN over T residues), chained via lengths.
     @jax.jit

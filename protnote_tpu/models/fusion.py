@@ -60,10 +60,12 @@ class ProtNoteConfig:
     label_embedding_dropout: float = 0.0
     label_tile: int = 512
     compute_dtype: Any = jnp.float32
-    # auto (train: dense, eval: tiled) | dense | tiled.  A hand-written
-    # Pallas pair kernel was benchmarked and removed: the folded/tiled XLA
-    # path runs at 177 TFLOP/s (90% of v5e bf16 peak), and the kernel peaked
-    # at 169 — there is no >=10% headroom below the roofline to claim.
+    # auto (train: dense, eval: tiled) | dense | tiled | tiled_int8.
+    # A hand-written Pallas pair kernel was benchmarked and removed: the
+    # folded/tiled XLA path runs at 177 TFLOP/s (90% of v5e bf16 peak), and
+    # the kernel peaked at 169 — there is no >=10% headroom below the
+    # roofline to claim.  tiled_int8 (opt-in, approximate) runs the hidden
+    # GEMMs on the MXU int8 pipe (2x bf16 peak).
     pair_backend: str = "auto"
     gradient_checkpointing: bool = False
     # >0: train with the streamed exact-BN pair scorer (bounded memory for
@@ -118,6 +120,7 @@ class ProtNoteConfig:
             gradient_checkpointing=params.get("GRADIENT_CHECKPOINTING", False),
             train_label_tile=params.get("TRAIN_STREAMING_LABEL_TILE", 0) or 0,
             train_streaming_cache=params.get("TRAIN_STREAMING_CACHE", None),
+            pair_backend=params.get("PAIR_BACKEND", None) or "auto",
         )
         kw.update(overrides)
         return cls(**kw)
@@ -367,7 +370,9 @@ def protnote_forward(
             new_state["output_mlp"] = om_s
         elif (
             train
-            and cfg.pair_backend == "auto"  # "dense" forces the materialised path
+            # "dense" forces the materialised path; tiled_int8 is
+            # inference-only so training falls through to the default
+            and cfg.pair_backend in ("auto", "tiled_int8")
             and cfg.feature_fusion in ("concatenation", "concatenation_diff")
             and cfg.dropout == 0.0
             and om_state is not None
@@ -413,10 +418,22 @@ def protnote_forward(
                 params["output_mlp"], om_state, cfg.feature_fusion, cfg.latent_dim,
                 dtype=cfg.compute_dtype,
             )
-            logits = pair_logits_tiled(
-                folded, P_e, L_e, label_tile=cfg.label_tile,
-                compute_dtype=cfg.compute_dtype,
-            )
+            if backend == "tiled_int8":
+                # opt-in approximate path: hidden GEMMs on the MXU int8 pipe
+                # (2x bf16 peak on v5e); see ops/pair_scorer.py
+                from protnote_tpu.ops.pair_scorer import (
+                    pair_logits_tiled_int8, quantize_folded,
+                )
+
+                logits = pair_logits_tiled_int8(
+                    quantize_folded(folded), P_e, L_e,
+                    label_tile=cfg.label_tile, compute_dtype=cfg.compute_dtype,
+                )
+            else:
+                logits = pair_logits_tiled(
+                    folded, P_e, L_e, label_tile=cfg.label_tile,
+                    compute_dtype=cfg.compute_dtype,
+                )
     else:
         raise ValueError(f"feature fusion {cfg.feature_fusion} not implemented")
 

@@ -245,6 +245,95 @@ def pair_logits_tiled(
 
 
 # ----------------------------------------------------------------------
+# int8 inference path: the two (H, H) hidden GEMMs on the MXU's int8 pipe
+# (2x the bf16 peak on v5e).  Weights are folded-BN, symmetric per-output-
+# channel; activations are symmetric per-row, quantized dynamically (the
+# row max is one cheap reduction per tile).  Accumulation is int32, the
+# affine/relu epilogue stays f32, and the first-layer per-side GEMMs plus
+# the output matvec remain bf16 (negligible cost, keeps the logit head
+# full-precision).  Opt-in (PAIR_BACKEND: tiled_int8) — approximate.
+
+
+@dataclass
+class Int8FoldedOutputMLP:
+    """Folded inference MLP with int8-quantized hidden layers."""
+
+    w1_p: jnp.ndarray  # (d, H) bf16
+    w1_l: jnp.ndarray  # (d, H) bf16
+    b1: jnp.ndarray  # (H,)
+    hidden_q: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    # [(Wq (H, H) int8, s_w (H,) f32, b (H,) f32), ...]
+    w_out: jnp.ndarray  # (H,) bf16
+    b_out: jnp.ndarray  # ()
+
+
+def quantize_folded(folded: FoldedOutputMLP) -> Int8FoldedOutputMLP:
+    """Symmetric per-output-channel int8 quantization of the hidden GEMMs."""
+    if folded.w1_prod is not None:
+        raise ValueError("int8 path does not support concatenation_prod")
+    hidden_q = []
+    for W, b in folded.hidden:
+        Wf = W.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(Wf), axis=0), 1e-12) / 127.0
+        Wq = jnp.clip(jnp.round(Wf / s_w[None, :]), -127, 127).astype(jnp.int8)
+        hidden_q.append((Wq, s_w, b.astype(jnp.float32)))
+    return Int8FoldedOutputMLP(
+        w1_p=folded.w1_p, w1_l=folded.w1_l, b1=folded.b1,
+        hidden_q=hidden_q, w_out=folded.w_out, b_out=folded.b_out,
+    )
+
+
+def pair_logits_tiled_int8(
+    q: Int8FoldedOutputMLP,
+    P_e: jnp.ndarray,
+    L_e: jnp.ndarray,
+    label_tile: int = 512,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Label-tiled inference scoring with int8 hidden GEMMs.
+
+    Same structure as ``pair_logits_tiled``; each hidden layer dynamically
+    quantizes its input per row (scale = row max / 127), runs the GEMM in
+    int8 with int32 accumulation, and dequantizes into the f32 bias+relu
+    epilogue.  Returns (B, L) float32 logits."""
+    B, d = P_e.shape
+    L = L_e.shape[0]
+
+    a = jnp.dot(P_e.astype(compute_dtype), q.w1_p.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    c = (
+        jnp.dot(L_e.astype(compute_dtype), q.w1_l.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + q.b1.astype(jnp.float32)
+    )
+
+    num_tiles = -(-L // label_tile)
+    pad = num_tiles * label_tile - L
+    c_p = jnp.pad(c, ((0, pad), (0, 0)))
+
+    def tile_fn(t):
+        c_t = jax.lax.dynamic_slice_in_dim(c_p, t * label_tile, label_tile)
+        h = jax.nn.relu(a[:, None, :] + c_t[None, :, :]).reshape(
+            B * label_tile, -1)
+        for Wq, s_w, b in q.hidden_q:
+            m = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+            s_act = jnp.maximum(m, 1e-12) / 127.0
+            hq = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                hq, Wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            h = jax.nn.relu(y.astype(jnp.float32) * (s_act * s_w[None, :]) + b)
+        out = jnp.dot(h.astype(compute_dtype), q.w_out.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+        return (out + q.b_out).reshape(B, label_tile)
+
+    tiles = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    logits = jnp.moveaxis(tiles, 0, 1).reshape(B, num_tiles * label_tile)
+    return logits[:, :L]
+
+
+# ----------------------------------------------------------------------
 # Similarity fusion (reference ProtNote.py:281-284)
 
 

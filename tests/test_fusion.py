@@ -206,3 +206,60 @@ def test_train_mode_bn_over_pairs(model, inputs):
         h = F.relu(h)
     ref = (h @ t(p["out"]["kernel"]) + t(p["out"]["bias"]))[:, 0].reshape(4, 9)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=5e-4, atol=5e-4)
+
+
+def test_int8_tiled_close_to_f32():
+    """The opt-in int8 inference path approximates the f32 tiled scorer:
+    per-row dynamic activation quant + per-channel weight quant keeps
+    sigmoid probabilities within ~1e-2."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote, protnote_forward
+    from protnote_tpu.ops.pair_scorer import (
+        fold_output_mlp, pair_logits_tiled, pair_logits_tiled_int8, quantize_folded,
+    )
+
+    cfg = ProtNoteConfig(
+        protein_embedding_dim=24, label_embedding_dim=24, latent_dim=16,
+        projection_head_num_layers=2, output_mlp_num_layers=3,
+        output_mlp_hidden_dim_scale_factor=2, label_tile=8,
+    )
+    params, state = init_protnote(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    P_e = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+    L_e = jnp.asarray(rng.normal(size=(21, 16)).astype(np.float32))
+
+    folded = fold_output_mlp(params["output_mlp"], state["output_mlp"],
+                             "concatenation", cfg.latent_dim)
+    ref = np.asarray(pair_logits_tiled(folded, P_e, L_e, label_tile=8,
+                                       compute_dtype=jnp.float32))
+    got = np.asarray(pair_logits_tiled_int8(quantize_folded(folded), P_e, L_e,
+                                            label_tile=8,
+                                            compute_dtype=jnp.float32))
+    p_ref = 1 / (1 + np.exp(-ref))
+    p_got = 1 / (1 + np.exp(-got))
+    assert np.max(np.abs(p_ref - p_got)) < 1e-2
+    assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
+
+    # end-to-end through protnote_forward with the config backend
+    cfg8 = dataclasses.replace(cfg, pair_backend="tiled_int8")
+    rngs = np.random.default_rng(1)
+    P_f = jnp.asarray(rngs.normal(size=(6, 24)).astype(np.float32))
+    L_f = jnp.asarray(rngs.normal(size=(21, 24)).astype(np.float32))
+    lg8, _ = protnote_forward(params, state, P_f, L_f, cfg8, train=False)
+    lg, _ = protnote_forward(params, state, P_f, L_f, cfg, train=False)
+    assert np.max(np.abs(1 / (1 + np.exp(-np.asarray(lg8)))
+                         - 1 / (1 + np.exp(-np.asarray(lg))))) < 2e-2
+
+    # training with the int8 config still uses the exact decomposed path
+    em = jnp.ones(6, jnp.float32)
+    lm = jnp.ones(21, jnp.float32)
+    lg_tr8, st8 = protnote_forward(params, state, P_f, L_f, cfg8, train=True,
+                                   example_mask=em, label_mask=lm)
+    lg_tr, st = protnote_forward(params, state, P_f, L_f, cfg, train=True,
+                                 example_mask=em, label_mask=lm)
+    np.testing.assert_allclose(np.asarray(lg_tr8), np.asarray(lg_tr),
+                               rtol=1e-5, atol=1e-5)
