@@ -123,6 +123,11 @@ class ProtNoteConfig:
             pair_backend=params.get("PAIR_BACKEND", None) or "auto",
         )
         kw.update(overrides)
+        allowed = ("auto", "dense", "tiled", "tiled_int8")
+        if kw["pair_backend"] not in allowed:
+            raise ValueError(
+                f"PAIR_BACKEND={kw['pair_backend']!r} not in {allowed}"
+            )
         return cls(**kw)
 
 
@@ -420,7 +425,11 @@ def protnote_forward(
             )
             if backend == "tiled_int8":
                 # opt-in approximate path: hidden GEMMs on the MXU int8 pipe
-                # (2x bf16 peak on v5e); see ops/pair_scorer.py
+                # (2x bf16 peak on v5e); see ops/pair_scorer.py.  The fold +
+                # quantize of the (H, H) weights re-runs inside each jitted
+                # eval call (params are jit inputs, so XLA cannot constant-
+                # fold it) — ~19M elementwise ops, ~0.1 ms per batch, <0.1%
+                # of the pair GEMMs; not worth hoisting per evaluation.
                 from protnote_tpu.ops.pair_scorer import (
                     pair_logits_tiled_int8, quantize_folded,
                 )

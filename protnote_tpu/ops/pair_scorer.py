@@ -192,18 +192,12 @@ def fold_output_mlp(p: Params, s: Optional[Params], feature_fusion: str,
                            hidden=hidden, w_out=w_out, b_out=b_out)
 
 
-def pair_logits_tiled(
-    folded: FoldedOutputMLP,
-    P_e: jnp.ndarray,
-    L_e: jnp.ndarray,
-    label_tile: int = 512,
-    compute_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Inference pair scoring, label-tiled. Returns (B, L) float32 logits.
-
-    The per-pair work is two (H, H) GEMMs + a matvec; the first layer costs
-    only two small per-side GEMMs thanks to the decomposition.
-    """
+def _tiled_scaffold(folded, P_e, L_e, label_tile, compute_dtype, hidden_fn,
+                    w_out, b_out):
+    """Shared label-tiled scoring scaffold: first-layer decomposition,
+    tile padding/slicing, and the output matvec; ``hidden_fn(h_f32)`` applies
+    the hidden layers (bf16 or int8) to each tile's (B*tile, H) relu output
+    and returns the final hidden activations."""
     B, d = P_e.shape
     L = L_e.shape[0]
 
@@ -218,30 +212,51 @@ def pair_logits_tiled(
     num_tiles = -(-L // label_tile)
     pad = num_tiles * label_tile - L
     c_p = jnp.pad(c, ((0, pad), (0, 0)))
-    Le_p = jnp.pad(L_e, ((0, pad), (0, 0))) if folded.w1_prod is not None else None
+    w1_prod = getattr(folded, "w1_prod", None)
+    Le_p = jnp.pad(L_e, ((0, pad), (0, 0))) if w1_prod is not None else None
 
     def tile_fn(t):
         c_t = jax.lax.dynamic_slice_in_dim(c_p, t * label_tile, label_tile)
         pre1 = a[:, None, :] + c_t[None, :, :]
-        if folded.w1_prod is not None:
+        if w1_prod is not None:
             le_t = jax.lax.dynamic_slice_in_dim(Le_p, t * label_tile, label_tile)
             prod = P_e[:, None, :] * le_t[None, :, :]  # (B, tile, d)
             pre1 = pre1 + jnp.einsum(
                 "bld,dh->blh", prod.astype(compute_dtype),
-                folded.w1_prod.astype(compute_dtype),
+                w1_prod.astype(compute_dtype),
                 preferred_element_type=jnp.float32,
             )
-        h = jax.nn.relu(pre1).reshape(B * label_tile, -1).astype(compute_dtype)
-        for W, b in folded.hidden:
-            h = jnp.dot(h, W.astype(compute_dtype), preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h + b.astype(jnp.float32)).astype(compute_dtype)
-        out = jnp.dot(h, folded.w_out.astype(compute_dtype),
+        h = hidden_fn(jax.nn.relu(pre1).reshape(B * label_tile, -1))
+        out = jnp.dot(h.astype(compute_dtype), w_out.astype(compute_dtype),
                       preferred_element_type=jnp.float32)
-        return (out + folded.b_out).reshape(B, label_tile)
+        return (out + b_out).reshape(B, label_tile)
 
     tiles = jax.lax.map(tile_fn, jnp.arange(num_tiles))
     logits = jnp.moveaxis(tiles, 0, 1).reshape(B, num_tiles * label_tile)
     return logits[:, :L]
+
+
+def pair_logits_tiled(
+    folded: FoldedOutputMLP,
+    P_e: jnp.ndarray,
+    L_e: jnp.ndarray,
+    label_tile: int = 512,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Inference pair scoring, label-tiled. Returns (B, L) float32 logits.
+
+    The per-pair work is two (H, H) GEMMs + a matvec; the first layer costs
+    only two small per-side GEMMs thanks to the decomposition.
+    """
+    def hidden_fn(h):
+        h = h.astype(compute_dtype)
+        for W, b in folded.hidden:
+            h = jnp.dot(h, W.astype(compute_dtype), preferred_element_type=jnp.float32)
+            h = jax.nn.relu(h + b.astype(jnp.float32)).astype(compute_dtype)
+        return h
+
+    return _tiled_scaffold(folded, P_e, L_e, label_tile, compute_dtype,
+                           hidden_fn, folded.w_out, folded.b_out)
 
 
 # ----------------------------------------------------------------------
@@ -292,29 +307,11 @@ def pair_logits_tiled_int8(
 ) -> jnp.ndarray:
     """Label-tiled inference scoring with int8 hidden GEMMs.
 
-    Same structure as ``pair_logits_tiled``; each hidden layer dynamically
+    Same scaffold as ``pair_logits_tiled``; each hidden layer dynamically
     quantizes its input per row (scale = row max / 127), runs the GEMM in
     int8 with int32 accumulation, and dequantizes into the f32 bias+relu
     epilogue.  Returns (B, L) float32 logits."""
-    B, d = P_e.shape
-    L = L_e.shape[0]
-
-    a = jnp.dot(P_e.astype(compute_dtype), q.w1_p.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
-    c = (
-        jnp.dot(L_e.astype(compute_dtype), q.w1_l.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
-        + q.b1.astype(jnp.float32)
-    )
-
-    num_tiles = -(-L // label_tile)
-    pad = num_tiles * label_tile - L
-    c_p = jnp.pad(c, ((0, pad), (0, 0)))
-
-    def tile_fn(t):
-        c_t = jax.lax.dynamic_slice_in_dim(c_p, t * label_tile, label_tile)
-        h = jax.nn.relu(a[:, None, :] + c_t[None, :, :]).reshape(
-            B * label_tile, -1)
+    def hidden_fn(h):
         for Wq, s_w, b in q.hidden_q:
             m = jnp.max(jnp.abs(h), axis=1, keepdims=True)
             s_act = jnp.maximum(m, 1e-12) / 127.0
@@ -324,13 +321,10 @@ def pair_logits_tiled_int8(
                 preferred_element_type=jnp.int32,
             )
             h = jax.nn.relu(y.astype(jnp.float32) * (s_act * s_w[None, :]) + b)
-        out = jnp.dot(h.astype(compute_dtype), q.w_out.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
-        return (out + q.b_out).reshape(B, label_tile)
+        return h
 
-    tiles = jax.lax.map(tile_fn, jnp.arange(num_tiles))
-    logits = jnp.moveaxis(tiles, 0, 1).reshape(B, num_tiles * label_tile)
-    return logits[:, :L]
+    return _tiled_scaffold(q, P_e, L_e, label_tile, compute_dtype,
+                           hidden_fn, q.w_out, q.b_out)
 
 
 # ----------------------------------------------------------------------

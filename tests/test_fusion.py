@@ -263,3 +263,12 @@ def test_int8_tiled_close_to_f32():
                                  example_mask=em, label_mask=lm)
     np.testing.assert_allclose(np.asarray(lg_tr8), np.asarray(lg_tr),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pair_backend_validated():
+    from protnote_tpu.models.fusion import ProtNoteConfig
+
+    with pytest.raises(ValueError, match="PAIR_BACKEND"):
+        ProtNoteConfig.from_params({"PAIR_BACKEND": "int8"})
+    cfg = ProtNoteConfig.from_params({"PAIR_BACKEND": "tiled_int8"})
+    assert cfg.pair_backend == "tiled_int8"
