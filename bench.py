@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--details", action="store_true")
     ap.add_argument("--backend", choices=["auto", "tiled", "int8"], default="auto")
+    ap.add_argument("--label-tile", type=int, default=512,
+                    help="label tile size for the tiled/int8 eval scorers")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full training step instead of inference")
     ap.add_argument("--remat", action="store_true",
@@ -137,6 +139,7 @@ def main():
     pn_cfg = ProtNoteConfig(
         compute_dtype=jnp.bfloat16,
         pair_backend="tiled_int8" if args.backend == "int8" else "auto",
+        label_tile=args.label_tile,
     )
     # Initialize parameters on the host CPU backend: dispatching dozens of
     # tiny PRNG programs over the TPU tunnel is latency-bound; one bulk
@@ -438,7 +441,7 @@ def main():
         return step
 
     tiled_step = chain_pair(
-        lambda p, l: pair_logits_tiled(folded, p, l, label_tile=512,
+        lambda p, l: pair_logits_tiled(folded, p, l, label_tile=args.label_tile,
                                        compute_dtype=jnp.bfloat16)
     )
     results["tiled"] = timeit_chained(tiled_step, P_e)
@@ -451,7 +454,7 @@ def main():
 
         q = quantize_folded(folded)
         int8_step = chain_pair(
-            lambda p, l: pair_logits_tiled_int8(q, p, l, label_tile=512,
+            lambda p, l: pair_logits_tiled_int8(q, p, l, label_tile=args.label_tile,
                                                 compute_dtype=jnp.bfloat16)
         )
         results["tiled_int8"] = timeit_chained(int8_step, P_e)
