@@ -272,3 +272,28 @@ def test_pair_backend_validated():
         ProtNoteConfig.from_params({"PAIR_BACKEND": "int8"})
     cfg = ProtNoteConfig.from_params({"PAIR_BACKEND": "tiled_int8"})
     assert cfg.pair_backend == "tiled_int8"
+
+
+def test_int8_quantize_degenerate_weights():
+    """Zero weight columns and zero activation rows survive quantization
+    (the 1e-12 scale floors prevent div-by-zero / NaN)."""
+    import jax.numpy as jnp
+
+    from protnote_tpu.ops.pair_scorer import (
+        FoldedOutputMLP, pair_logits_tiled_int8, quantize_folded,
+    )
+
+    H, d = 32, 16  # XLA:CPU int8 dot miscompiles below lane width
+    W = jnp.zeros((H, H), jnp.float32).at[:, 0].set(1.0)  # cols 1..7 all-zero
+    folded = FoldedOutputMLP(
+        w1_p=jnp.zeros((d, H)), w1_l=jnp.zeros((d, H)),  # zero h1 rows too
+        b1=jnp.zeros(H), w1_prod=None,
+        hidden=[(W, jnp.zeros(H))],
+        w_out=jnp.ones(H), b_out=jnp.asarray(0.5),
+    )
+    q = quantize_folded(folded)
+    out = pair_logits_tiled_int8(q, jnp.ones((2, d)), jnp.ones((3, d)),
+                                 label_tile=2, compute_dtype=jnp.float32)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)

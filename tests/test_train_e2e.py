@@ -187,3 +187,43 @@ def test_eval_only_from_checkpoint(trained):
     assert "test" in metrics
     # the reloaded model scores the test set identically (same ckpt, no train)
     assert abs(metrics["test"]["map_micro"] - first_metrics["test"]["map_micro"]) < 5e-3
+
+
+def test_eval_only_int8_backend(trained):
+    """PAIR_BACKEND=tiled_int8 through the real CLI: the quantized eval
+    scores the test set close to the exact path."""
+    import protnote_tpu.cli.main as cli
+    from protnote_tpu.core import config as cfgmod
+
+    env, first_metrics = trained
+    ckpts = sorted((env / "outputs" / "checkpoints").glob("*best_val_metric.ckpt"))
+    if not ckpts:
+        ckpts = sorted((env / "outputs" / "checkpoints").glob("*last_epoch.ckpt"))
+    ckpt = ckpts[-1]
+
+    orig_load = cfgmod.load_config
+
+    def load_small(path=cfgmod.DEFAULT_CONFIG_PATH):
+        cfg = orig_load(path)
+        cfg["embed_sequences_params"].update(
+            OUTPUT_CHANNELS=48, KERNEL_SIZE=5, NUM_RESNET_BLOCKS=1,
+            PROTEINFER_NUM_GO_LABELS=10,
+        )
+        return cfg
+
+    cfgmod.load_config = load_small
+    try:
+        args = _args(
+            [
+                "--test-paths-names", "TEST_DATA_PATH",
+                "--name", "e2e_int8",
+                "--model-file", str(ckpt),
+                "--override", *OVERRIDES, "PAIR_BACKEND", "tiled_int8",
+            ]
+        )
+        metrics = cli.run(args)
+    finally:
+        cfgmod.load_config = orig_load
+    assert np.isfinite(metrics["test"]["loss"])
+    assert abs(metrics["test"]["map_micro"]
+               - first_metrics["test"]["map_micro"]) < 2e-2
