@@ -312,15 +312,23 @@ def pair_logits_tiled_int8(
     int8 with int32 accumulation, and dequantizes into the f32 bias+relu
     epilogue.  Returns (B, L) float32 logits."""
     def hidden_fn(h):
+        # h stays bf16 between the dequant epilogue and the next quantize:
+        # the row-max and round passes then read 2-byte instead of 4-byte
+        # elements (the elementwise traffic around the int8 GEMMs is what
+        # keeps this path under the int8 roofline)
+        h = h.astype(jnp.bfloat16)
         for Wq, s_w, b in q.hidden_q:
-            m = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+            m = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=1, keepdims=True)
             s_act = jnp.maximum(m, 1e-12) / 127.0
-            hq = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+            hq = jnp.clip(jnp.round(h.astype(jnp.float32) / s_act),
+                          -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(
                 hq, Wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            h = jax.nn.relu(y.astype(jnp.float32) * (s_act * s_w[None, :]) + b)
+            h = jax.nn.relu(
+                y.astype(jnp.float32) * (s_act * s_w[None, :]) + b
+            ).astype(jnp.bfloat16)
         return h
 
     return _tiled_scaffold(q, P_e, L_e, label_tile, compute_dtype,
