@@ -297,3 +297,37 @@ def test_int8_quantize_degenerate_weights():
     assert out.shape == (2, 3)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_int8_with_label_latents():
+    """The pipeline's exact combination: precomputed label latents + int8
+    backend matches the bf16 tiled path within quantization tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.fusion import (
+        ProtNoteConfig, compute_label_latents, init_protnote, protnote_forward,
+    )
+
+    cfg = ProtNoteConfig(
+        protein_embedding_dim=24, label_embedding_dim=24, latent_dim=16,
+        projection_head_num_layers=2, output_mlp_num_layers=3,
+        output_mlp_hidden_dim_scale_factor=2, label_tile=8,
+    )
+    params, state = init_protnote(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    P_f = jnp.asarray(rng.normal(size=(5, 24)).astype(np.float32))
+    L_f = jnp.asarray(rng.normal(size=(13, 24)).astype(np.float32))
+    latents = compute_label_latents(params, state, L_f, cfg)
+
+    cfg8 = dataclasses.replace(cfg, pair_backend="tiled_int8")
+    lg8, _ = protnote_forward(params, state, P_f, None, cfg8, train=False,
+                              label_latents=latents)
+    lg, _ = protnote_forward(params, state, P_f, None, cfg, train=False,
+                             label_latents=latents)
+    p8 = 1 / (1 + np.exp(-np.asarray(lg8)))
+    p = 1 / (1 + np.exp(-np.asarray(lg)))
+    assert lg8.shape == (5, 13)
+    assert np.max(np.abs(p8 - p)) < 1e-2
