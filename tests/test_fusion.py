@@ -373,3 +373,46 @@ def test_int8_subsampled_scale_large_width():
     # accumulations): measured 0.0104 max prob deviation
     assert np.max(np.abs(p_ref - p_got)) < 2e-2
     assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
+
+
+def test_int8_concatenation_diff():
+    """int8 path with the diff fusion: the diff block folds into the
+    per-side first-layer weights before quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
+    from protnote_tpu.ops.pair_scorer import (
+        fold_output_mlp, pair_logits_tiled, pair_logits_tiled_int8, quantize_folded,
+    )
+
+    cfg = ProtNoteConfig(
+        protein_embedding_dim=24, label_embedding_dim=24, latent_dim=16,
+        projection_head_num_layers=2, output_mlp_num_layers=3,
+        output_mlp_hidden_dim_scale_factor=2, feature_fusion="concatenation_diff",
+    )
+    params, state = init_protnote(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(5)
+    P_e = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+    L_e = jnp.asarray(rng.normal(size=(11, 16)).astype(np.float32))
+    folded = fold_output_mlp(params["output_mlp"], state["output_mlp"],
+                             "concatenation_diff", cfg.latent_dim)
+    ref = np.asarray(pair_logits_tiled(folded, P_e, L_e, label_tile=4,
+                                       compute_dtype=jnp.float32))
+    got = np.asarray(pair_logits_tiled_int8(quantize_folded(folded), P_e, L_e,
+                                            label_tile=4,
+                                            compute_dtype=jnp.float32))
+    p_err = np.max(np.abs(1 / (1 + np.exp(-ref)) - 1 / (1 + np.exp(-got))))
+    assert p_err < 1e-2
+
+    # concatenation_prod is rejected (the per-tile product term cannot fold)
+    cfg_p = ProtNoteConfig(
+        protein_embedding_dim=24, label_embedding_dim=24, latent_dim=16,
+        projection_head_num_layers=2, output_mlp_num_layers=2,
+        output_mlp_hidden_dim_scale_factor=2, feature_fusion="concatenation_prod",
+    )
+    params_p, state_p = init_protnote(jax.random.PRNGKey(6), cfg_p)
+    folded_p = fold_output_mlp(params_p["output_mlp"], state_p["output_mlp"],
+                               "concatenation_prod", cfg_p.latent_dim)
+    with pytest.raises(ValueError, match="concatenation_prod"):
+        quantize_folded(folded_p)
