@@ -23,6 +23,11 @@ Checks (each gated on its inputs):
    label-embedding cache; compares micro/macro mAP to the expected values
    (BASELINE.md: ProtNote supervised GO test micro 0.9042 ± 0.0013, macro
    0.6019 ± 0.0010, Results.ipynb cell 42).
+5. **Reference-code parity** (``--reference-code``, no artifacts needed) —
+   imports the reference's own torch modules from ``/root/reference`` and
+   checks random-weight logit/loss/BN-statistic parity for the ProteInfer
+   encoder, every fusion variant (eval + train), and the loss zoo
+   (core/reference_oracle.py; full matrix in tests/test_reference_parity.py).
 
 Usage:
   python -m protnote_tpu.cli.check_parity \
@@ -65,6 +70,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--decision-threshold", type=float, default=0.5)
     ap.add_argument("--output", default="PARITY_RESULTS.json")
+    ap.add_argument("--reference-code", nargs="?", const="/root/reference",
+                    default=None, metavar="PATH",
+                    help="run random-weight parity vs the reference's own "
+                         "torch code at PATH (default /root/reference)")
     return ap
 
 
@@ -245,6 +254,16 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     results: Dict = {}
 
+    if args.reference_code:
+        from protnote_tpu.core.reference_oracle import run_reference_code_checks
+
+        try:
+            results["reference_code"] = run_reference_code_checks(
+                args.reference_code
+            )
+        except Exception as e:  # e.g. reference tree not mounted
+            results["reference_code"] = {"status": "FAIL", "error": str(e)}
+
     enc = None
     if args.proteinfer_pickle:
         out = _check_pickle(args.proteinfer_pickle, results)
@@ -270,10 +289,18 @@ def main(argv=None) -> int:
 
     with open(args.output, "w") as fh:
         json.dump(results, fh, indent=2, default=float)
-    failed = [k for k, v in results.items()
-              if str(v.get("status", "")).startswith("FAIL")]
-    for k, v in results.items():
-        print(f"{k}: {v.get('status')}")
+    def _statuses(key, val):
+        if "status" in val:
+            yield key, str(val["status"])
+        else:  # nested result group (e.g. reference_code)
+            for sub, v in val.items():
+                if isinstance(v, dict) and "status" in v:
+                    yield f"{key}.{sub}", str(v["status"])
+
+    flat = [sv for k, v in results.items() for sv in _statuses(k, v)]
+    failed = [k for k, s in flat if s.startswith("FAIL")]
+    for k, s in flat:
+        print(f"{k}: {s}")
     print(f"wrote {args.output}")
     return 1 if failed else 0
 

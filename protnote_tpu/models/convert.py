@@ -181,8 +181,12 @@ def _strip_ddp(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def _to_numpy(v) -> np.ndarray:
+    # Copy: .numpy() is a VIEW of torch storage, and jnp.asarray on the CPU
+    # backend keeps it zero-copy — a later in-place torch mutation (e.g. a
+    # train-mode BN running-stat update) would silently change the converted
+    # pytree.  Caught by tests/test_reference_parity.py train-BN tests.
     if hasattr(v, "detach"):
-        return v.detach().cpu().numpy()
+        return np.array(v.detach().cpu().numpy())
     return np.asarray(v)
 
 

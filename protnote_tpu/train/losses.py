@@ -135,12 +135,18 @@ def batch_label_weighted_bce(logits, targets, epsilon: float = 1e-10, mask=None)
 
 
 def rgd_bce(logits, targets, temperature: float, mask=None):
+    """Exp-reweighted BCE, matching the reference's *actual* numerics
+    (losses.py:58-74): it calls ``binary_cross_entropy_with_logits(...,
+    reduce="none")`` — a *legacy* torch argument whose truthy value resolves
+    to ``reduction="mean"`` — so the reweighting factor is computed from the
+    scalar mean BCE, not elementwise.  Verified against the imported
+    reference module in tests/test_reference_parity.py."""
     targets = targets.astype(jnp.float32)
-    loss = _bce_elementwise(logits.astype(jnp.float32), targets)
+    loss = _masked_mean(_bce_elementwise(logits.astype(jnp.float32), targets), mask)
     scale = jnp.exp(
         jnp.clip(jax.lax.stop_gradient(loss), max=temperature) / (temperature + 1.0)
     )
-    return _masked_mean(loss * scale, mask)
+    return loss * scale
 
 
 def supcon_loss(logits, targets, dim: int = 1):

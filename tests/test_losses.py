@@ -101,11 +101,16 @@ def test_batch_label_weighted_bce_matches_torch(data):
 
 
 def test_rgdbce_matches_torch(data):
+    """The reference passes legacy ``reduce="none"`` to
+    binary_cross_entropy_with_logits, which torch resolves to
+    reduction='mean' — so the reweighting factor applies to the SCALAR mean
+    BCE (verified against the imported reference module in
+    test_reference_parity.py::test_rgd_bce_parity)."""
     logits, targets = data
     temp = 0.12
     ours = float(rgd_bce(jnp.array(logits), jnp.array(targets), temp))
     loss = F.binary_cross_entropy_with_logits(
-        torch.tensor(logits), torch.tensor(targets), reduction="none"
+        torch.tensor(logits), torch.tensor(targets)
     )
     ref = (loss * torch.exp(torch.clamp(loss.detach(), max=temp) / (temp + 1))).mean().item()
     assert abs(ours - ref) < 1e-5
