@@ -212,11 +212,20 @@ class BucketBatcher:
     # ---------------- iteration ----------------
 
     def __iter__(self):
-        ds = self.ds
         plan = self._plan(self._epoch)
-        rng_desc = np.random.default_rng([self.seed, self._epoch, 7919])
-        rng_aug = np.random.default_rng([self.seed, self._epoch, 104729])
-        rng_lab = np.random.default_rng([self.seed, self._epoch, 1299709])
+        for bi, (idxs, bucket) in enumerate(plan):
+            yield self._build_batch(idxs, bucket, bi)
+
+    def _build_batch(self, idxs: np.ndarray, bucket: int, bi: int) -> Batch:
+        """Assemble one batch from its plan entry.
+
+        All randomness (residue augmentation, per-epoch description sampling,
+        label subsampling) is keyed by ``[seed, epoch, salt, bi]`` so a batch
+        can be rebuilt independently of iteration order — GridBatcher relies
+        on this to assemble (batch, tile) pairs lazily instead of
+        materialising the whole inner epoch (ADVICE r2: a reference-scale
+        epoch of full-vocab batches would hold ~50-60 GB of multihots)."""
+        ds = self.ds
         view = ds.label_view
         train_sampling = (
             view is not None
@@ -227,73 +236,75 @@ class BucketBatcher:
         L = ds.num_labels
         augment = ds.cfg.is_train and ds.cfg.augment_residue_probability > 0
 
-        for idxs, bucket in plan:
-            n = len(idxs)
-            B = self.batch_size
-            aa = np.full((B, bucket), ds.pad_id, dtype=np.int8)
-            lengths = np.ones(B, dtype=np.int32)
-            for r, i in enumerate(idxs):
-                e = ds.encoded[i][:bucket]
-                aa[r, : len(e)] = e
-                lengths[r] = len(e)
-            if augment:
-                aa = ds.augment_residues(aa, rng_aug)
-            mask = np.zeros(B, dtype=bool)
-            mask[:n] = True
-            seq_ids = [ds.sequence_ids[i] for i in idxs] + [""] * (B - n)
-            batch_label_lists = [ds.label_id_lists[i] for i in idxs]
+        n = len(idxs)
+        B = self.batch_size
+        aa = np.full((B, bucket), ds.pad_id, dtype=np.int8)
+        lengths = np.ones(B, dtype=np.int32)
+        for r, i in enumerate(idxs):
+            e = ds.encoded[i][:bucket]
+            aa[r, : len(e)] = e
+            lengths[r] = len(e)
+        if augment:
+            rng_aug = np.random.default_rng([self.seed, self._epoch, 104729, bi])
+            aa = ds.augment_residues(aa, rng_aug)
+        mask = np.zeros(B, dtype=bool)
+        mask[:n] = True
+        seq_ids = [ds.sequence_ids[i] for i in idxs] + [""] * (B - n)
+        batch_label_lists = [ds.label_id_lists[i] for i in idxs]
 
-            sel, lp = self._select_labels(batch_label_lists, rng_lab)
-            ls = L if sel is None else len(sel)
-            label_indices = np.arange(L, dtype=np.int64) if sel is None else sel
+        rng_lab = np.random.default_rng([self.seed, self._epoch, 1299709, bi])
+        sel, lp = self._select_labels(batch_label_lists, rng_lab)
+        ls = L if sel is None else len(sel)
+        label_indices = np.arange(L, dtype=np.int64) if sel is None else sel
 
-            multihots = None
-            if self.return_label_multihots:
-                mh = _multihot(batch_label_lists, L).astype(np.float32)
-                if n < B:
-                    mh = np.concatenate([mh, np.zeros((B - n, L), np.float32)])
-                if sel is not None:
-                    mh = mh[:, sel]
-                if lp > ls:
-                    mh = np.pad(mh, ((0, 0), (0, lp - ls)))
-                multihots = mh
-
-            label_mask = None
+        multihots = None
+        if self.return_label_multihots:
+            mh = _multihot(batch_label_lists, L).astype(np.float32)
+            if n < B:
+                mh = np.concatenate([mh, np.zeros((B - n, L), np.float32)])
+            if sel is not None:
+                mh = mh[:, sel]
             if lp > ls:
-                label_mask = np.zeros(lp, dtype=bool)
-                label_mask[:ls] = True
+                mh = np.pad(mh, ((0, 0), (0, lp - ls)))
+            multihots = mh
 
-            rows = emb = tok = desc_idx = None
-            if view is not None:
-                if train_sampling:
-                    rows = view.sample_rows(rng_desc, sel)
-                elif sel is None:
-                    if self._fixed_label_layout is None:
-                        self._fixed_label_layout = view.first_k_rows(k)
-                    rows = self._fixed_label_layout
-                else:
-                    rows = view.first_k_rows(k, sel)
-                if lp > ls:
-                    rows = np.concatenate(
-                        [rows, np.zeros((lp - ls) * k, dtype=np.int32)]
-                    )
-                tok = view.token_counts[rows]
-                desc_idx = view.cache_indices[rows]
-                if not self.device_label_gather:
-                    emb = view.embeddings[rows]
-            yield Batch(
-                aa_ids=aa,
-                lengths=lengths,
-                example_mask=mask,
-                sequence_ids=seq_ids,
-                label_embeddings=emb,
-                label_rows=rows if (view is not None and self.device_label_gather) else None,
-                label_multihots=multihots,
-                label_mask=label_mask,
-                label_indices=label_indices,
-                label_token_counts=tok,
-                label_description_indices=desc_idx,
-            )
+        label_mask = None
+        if lp > ls:
+            label_mask = np.zeros(lp, dtype=bool)
+            label_mask[:ls] = True
+
+        rows = emb = tok = desc_idx = None
+        if view is not None:
+            if train_sampling:
+                rng_desc = np.random.default_rng([self.seed, self._epoch, 7919, bi])
+                rows = view.sample_rows(rng_desc, sel)
+            elif sel is None:
+                if self._fixed_label_layout is None:
+                    self._fixed_label_layout = view.first_k_rows(k)
+                rows = self._fixed_label_layout
+            else:
+                rows = view.first_k_rows(k, sel)
+            if lp > ls:
+                rows = np.concatenate(
+                    [rows, np.zeros((lp - ls) * k, dtype=np.int32)]
+                )
+            tok = view.token_counts[rows]
+            desc_idx = view.cache_indices[rows]
+            if not self.device_label_gather:
+                emb = view.embeddings[rows]
+        return Batch(
+            aa_ids=aa,
+            lengths=lengths,
+            example_mask=mask,
+            sequence_ids=seq_ids,
+            label_embeddings=emb,
+            label_rows=rows if (view is not None and self.device_label_gather) else None,
+            label_multihots=multihots,
+            label_mask=label_mask,
+            label_indices=label_indices,
+            label_token_counts=tok,
+            label_description_indices=desc_idx,
+        )
 
 
 class GridBatcher:
@@ -338,12 +349,24 @@ class GridBatcher:
         rng = np.random.default_rng([self.inner.seed, self._epoch, 31337])
         label_order = rng.permutation(L) if self.shuffle_grid else np.arange(L)
         tiles = [label_order[i : i + lbs] for i in range(0, L, lbs)]
-        batches = list(self.inner)
-        pairs = [(b, t) for b in range(len(batches)) for t in range(len(tiles))]
+        plan = self.inner._plan(self.inner._epoch)
+        pairs = [(b, t) for b in range(len(plan)) for t in range(len(tiles))]
         if self.shuffle_grid or self.inner.shuffle:
             rng.shuffle(pairs)
+        # Assemble each (batch, tile) pair lazily — the epoch is never
+        # materialised (a reference-scale epoch of full-vocab Batch objects
+        # holds ~50-60 GB of (B, L) multihots; the reference's
+        # GridBatchSampler also stores only index lists, samplers.py:127-224).
+        # Per-pair rebuild cost is O(B*bucket) int8 copies; the same batch
+        # index rebuilds identically because _build_batch keys its RNG
+        # streams by batch index.  Consecutive visits to the same batch are
+        # memoised below so sorted pair orders pay assembly once per batch.
+        last_bi, last_batch = -1, None
         for bi, ti in pairs:
-            yield self._tile(batches[bi], np.asarray(tiles[ti], dtype=np.int64))
+            if bi != last_bi:
+                idxs, bucket = plan[bi]
+                last_bi, last_batch = bi, self.inner._build_batch(idxs, bucket, bi)
+            yield self._tile(last_batch, np.asarray(tiles[ti], dtype=np.int64))
 
     def _tile(self, batch: Batch, tile: np.ndarray) -> Batch:
         lbs = self.labels_batch_size

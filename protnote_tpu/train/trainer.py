@@ -43,6 +43,16 @@ from protnote_tpu.train.step import batch_to_device_dict, make_eval_step, make_t
 logger = logging.getLogger(__name__)
 
 
+def _is_grid(batcher) -> bool:
+    """Duck-typed grid-batcher detection: ``labels_batch_size`` is the
+    GridBatcher signature attribute.  ``isinstance`` would be defeated by
+    PrefetchBatcher, whose ``__getattr__`` delegation makes a wrapped grid
+    batcher answer every attribute probe while failing the type check
+    (ADVICE r2: the wrapped combination would silently reuse the first
+    tile's label latents for every tile)."""
+    return getattr(batcher, "labels_batch_size", None) is not None
+
+
 @dataclass
 class TrainerConfig:
     num_epochs: int = 1
@@ -312,13 +322,11 @@ class Trainer:
         """The eval label layout is batch-invariant iff no per-batch label
         re-selection happens — then W_l can project the resident matrix once
         per evaluation instead of once per step."""
-        from protnote_tpu.data.batching import GridBatcher
-
         ds = batcher.ds
         return (
             self.text_cfg is None
             and self.pn_cfg.label_embedding_pooling_method != "all"
-            and not isinstance(batcher, GridBatcher)
+            and not _is_grid(batcher)
             and not getattr(batcher, "shuffle_labels", False)
             and not getattr(batcher, "in_batch_sampling", False)
             and not (ds.cfg.is_train and ds.cfg.label_augmentation_descriptions)
@@ -526,15 +534,13 @@ class Trainer:
 
         # ---- label-subset layout (reference VALIDATION_LABEL_SAMPLE_SIZE /
         # in-batch / grid sampling, collators.py:95-133) ----
-        from protnote_tpu.data.batching import GridBatcher
-
         sample_size = getattr(batcher, "label_sample_size", None)
         fixed_subset = (
             sample_size is not None and sample_size < num_labels
             and not getattr(batcher, "shuffle_labels", False)
         )
         varying_subset = (
-            isinstance(batcher, GridBatcher)
+            _is_grid(batcher)
             or getattr(batcher, "in_batch_sampling", False)
             or (sample_size is not None and sample_size < num_labels
                 and getattr(batcher, "shuffle_labels", False))

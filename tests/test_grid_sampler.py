@@ -66,3 +66,48 @@ def test_grid_batcher_epoch_reshuffle(tmp_path, rng):
     grid.set_epoch(1)
     ids1 = [tuple(b.sequence_ids) for b in grid]
     assert ids0 != ids1  # epoch-seeded reshuffle (reference set_epoch contract)
+
+
+def test_grid_batcher_lazy_matches_and_consistent(tmp_path, rng):
+    """Lazy (batch, tile) assembly: two iterations of the same epoch yield
+    identical batches (per-batch keyed RNG streams), and identical batch
+    content is shared across that batch's tiles."""
+    ds = _dataset(tmp_path, rng)
+    inner = BucketBatcher(ds, batch_size=4, buckets=(64,), shuffle=True,
+                          drop_last=True, seed=3)
+    grid = GridBatcher(inner, labels_batch_size=4, shuffle_grid=True)
+    grid.set_epoch(1)
+    run1 = list(grid)
+    run2 = list(grid)
+    assert len(run1) == len(run2) == len(grid)
+    for a, b in zip(run1, run2):
+        np.testing.assert_array_equal(a.aa_ids, b.aa_ids)
+        np.testing.assert_array_equal(a.label_indices, b.label_indices)
+        np.testing.assert_array_equal(a.label_multihots, b.label_multihots)
+        np.testing.assert_array_equal(a.label_rows is None,
+                                      b.label_rows is None)
+    # same sequence-batch content across tiles: group by sequence ids
+    by_seq = {}
+    for b in run1:
+        by_seq.setdefault(tuple(b.sequence_ids), []).append(b)
+    for group in by_seq.values():
+        for b in group[1:]:
+            np.testing.assert_array_equal(group[0].aa_ids, b.aa_ids)
+
+
+def test_prefetch_wrapped_grid_batcher_detected(tmp_path, rng):
+    """ADVICE r2: isinstance(GridBatcher) was defeated by PrefetchBatcher's
+    __getattr__ delegation; the trainer must detect the grid through the
+    wrapper (duck-typed on labels_batch_size) so eval never reuses one
+    tile's label latents for every tile."""
+    from protnote_tpu.data.batching import PrefetchBatcher
+    from protnote_tpu.train.trainer import _is_grid
+
+    ds = _dataset(tmp_path, rng)
+    inner = BucketBatcher(ds, batch_size=4, buckets=(64,), seed=0)
+    grid = GridBatcher(inner, labels_batch_size=4)
+    wrapped = PrefetchBatcher(grid)
+    assert _is_grid(grid)
+    assert _is_grid(wrapped)
+    assert not _is_grid(inner)
+    assert not _is_grid(PrefetchBatcher(inner))
