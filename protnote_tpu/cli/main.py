@@ -363,9 +363,16 @@ def run(args) -> Dict:
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
             device_label_gather=dev_gather,
         )
-        threshold, score = trainer.find_optimal_threshold(val_batcher)
+        # one pass over validation: metrics AND the threshold sweep
+        # (previously find_optimal_threshold scored the set a second time)
+        res = trainer.evaluate(
+            val_batcher, data_split_name="validation",
+            threshold_sweep=np.arange(0.01, 1.0, 0.01, dtype=np.float32),
+        )
+        threshold, score = res["threshold"]
         trainer.cfg.decision_threshold = threshold
         all_metrics["decision_threshold"] = {"threshold": threshold, "score": score}
+        all_metrics["validation_at_sweep"] = res["metrics"]
 
     # ---------------- test ----------------
     for i, test_ds in enumerate(datasets.get("test", [])):

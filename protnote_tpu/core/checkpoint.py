@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import zlib
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -30,13 +31,18 @@ def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
                     best_val_metric: Optional[float] = None,
                     extra: Optional[Dict[str, Any]] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.to_bytes(_to_host(train_state))
     meta = {
         "epoch": int(epoch),
         "best_val_metric": None if best_val_metric is None else float(best_val_metric),
+        # torn/partial-write detection + cross-process restore equality
+        # (the reference was immune by construction via its rank0 broadcast,
+        # ProtNoteTrainer.py:921-938; a shared-storage restore is not)
+        "checksum_crc32": zlib.crc32(blob),
+        "blob_bytes": len(blob),
         **(extra or {}),
     }
     meta_blob = json.dumps(meta).encode()
-    blob = serialization.to_bytes(_to_host(train_state))
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
@@ -65,6 +71,12 @@ def restore_checkpoint(path: str, train_state_template: Dict[str, Any]
         meta_len = int(fh.read(16))
         meta = json.loads(fh.read(meta_len))
         blob = fh.read()
+    want = meta.get("checksum_crc32")
+    if want is not None and zlib.crc32(blob) != want:
+        raise ValueError(
+            f"{path}: checksum mismatch — truncated or corrupted checkpoint "
+            f"({len(blob)} bytes read, {meta.get('blob_bytes')} expected)"
+        )
     stored = serialization.msgpack_restore(blob)
     ts = _merge_into_template(_to_host(train_state_template), stored, path="")
     return ts, meta
