@@ -193,6 +193,25 @@ def get_setup(
     paths = config["paths_resolved"]
 
     timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    # Multi-process: every process must agree on the run name — checkpoint
+    # paths derive from it, and per-process timestamps can cross a second
+    # boundary, leaving processes loading DIFFERENT best-checkpoint paths
+    # (observed as a post-training collective deadlock in the 2-process CLI
+    # test).  Process 0's timestamp wins.
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            raw = _np.frombuffer(
+                timestamp.encode().ljust(32), dtype=_np.uint8
+            ).copy()
+            raw = _np.asarray(multihost_utils.broadcast_one_to_all(raw))
+            timestamp = raw.tobytes().decode().strip()
+    except Exception:  # jax not initialised yet (pure host-side tooling)
+        pass
     full_run_name = f"{timestamp}_{run_name}"
 
     # Dataset-role selection by config key name (reference contract).

@@ -55,6 +55,12 @@ class Batch:
     label_indices: Optional[np.ndarray] = None  # (Ls,) real vocab ids of slots
     label_token_counts: Optional[np.ndarray] = None  # (Lp*k,) int32
     label_description_indices: Optional[np.ndarray] = None  # (Lp*k,) cache rows
+    # multi-process strided assembly (reference per-rank split,
+    # samplers.py:15-63): row-wise arrays above cover only global batch rows
+    # [row_offset, row_offset + local_rows); label-side arrays stay global
+    row_offset: int = 0
+    global_batch_size: Optional[int] = None  # None: arrays are global
+    global_valid_count: Optional[int] = None  # valid rows in the GLOBAL batch
 
 
 def _multihot(label_id_lists: List[np.ndarray], num_labels: int) -> np.ndarray:
@@ -120,6 +126,7 @@ class BucketBatcher:
         self._epoch = 0
         self._plans: Dict[int, List[Tuple[np.ndarray, int]]] = {}
         self._fixed_label_layout = None  # full-vocab eval rows, built once
+        self.row_shard = None  # multi-process strided assembly (set_row_shard)
 
         if len(ds) and int(np.max(ds.lengths)) > self.buckets[-1]:
             n_over = int(np.sum(ds.lengths > self.buckets[-1]))
@@ -216,15 +223,37 @@ class BucketBatcher:
         for bi, (idxs, bucket) in enumerate(plan):
             yield self._build_batch(idxs, bucket, bi)
 
+    def set_row_shard(self, shard) -> None:
+        """Restrict per-row assembly to this process's rows.
+
+        ``shard``: (start, count, total) blocks along the batch row axis —
+        rows [B*start/total, B*(start+count)/total) are assembled; label-side
+        arrays stay global.  This is the multi-process strided split
+        (reference per-rank DistributedSampler, samplers.py:15-63): host
+        batch-prep work becomes O(B/process_count) while the deterministic
+        global schedule is unchanged.  None restores full assembly."""
+        if shard is not None:
+            start, count, total = (int(x) for x in shard)
+            if not (0 <= start and count > 0 and start + count <= total):
+                raise ValueError(f"bad row shard {shard}")
+            if self.batch_size % total:
+                raise ValueError(
+                    f"batch size {self.batch_size} not divisible by the dp "
+                    f"axis ({total}) — required for strided assembly"
+                )
+            shard = (start, count, total)
+        self.row_shard = shard
+
     def _build_batch(self, idxs: np.ndarray, bucket: int, bi: int) -> Batch:
         """Assemble one batch from its plan entry.
 
         All randomness (residue augmentation, per-epoch description sampling,
-        label subsampling) is keyed by ``[seed, epoch, salt, bi]`` so a batch
-        can be rebuilt independently of iteration order — GridBatcher relies
-        on this to assemble (batch, tile) pairs lazily instead of
-        materialising the whole inner epoch (ADVICE r2: a reference-scale
-        epoch of full-vocab batches would hold ~50-60 GB of multihots)."""
+        label subsampling) is keyed by ``[seed, epoch, salt, bi]`` — residue
+        augmentation additionally by the global row — so a batch can be
+        rebuilt independently of iteration order (GridBatcher assembles
+        (batch, tile) pairs lazily; ADVICE r2) and a row-sharded assembly
+        (``set_row_shard``) produces exactly the rows the full assembly
+        would."""
         ds = self.ds
         view = ds.label_view
         train_sampling = (
@@ -238,18 +267,33 @@ class BucketBatcher:
 
         n = len(idxs)
         B = self.batch_size
-        aa = np.full((B, bucket), ds.pad_id, dtype=np.int8)
-        lengths = np.ones(B, dtype=np.int32)
-        for r, i in enumerate(idxs):
+        shard = getattr(self, "row_shard", None)
+        if shard is None:
+            lo, hi = 0, B
+        else:
+            start, count, total = shard
+            lo, hi = B * start // total, B * (start + count) // total
+        Bl = hi - lo
+        aa = np.full((Bl, bucket), ds.pad_id, dtype=np.int8)
+        lengths = np.ones(Bl, dtype=np.int32)
+        local_idxs = idxs[lo:hi]  # may be shorter than Bl near the tail
+        for r, i in enumerate(local_idxs):
             e = ds.encoded[i][:bucket]
             aa[r, : len(e)] = e
             lengths[r] = len(e)
         if augment:
-            rng_aug = np.random.default_rng([self.seed, self._epoch, 104729, bi])
-            aa = ds.augment_residues(aa, rng_aug)
-        mask = np.zeros(B, dtype=bool)
-        mask[:n] = True
-        seq_ids = [ds.sequence_ids[i] for i in idxs] + [""] * (B - n)
+            for r in range(len(local_idxs)):
+                rng_aug = np.random.default_rng(
+                    [self.seed, self._epoch, 104729, bi, lo + r]
+                )
+                aa[r] = ds.augment_residues(aa[r], rng_aug)
+        mask = np.zeros(Bl, dtype=bool)
+        mask[: max(0, min(n, hi) - lo)] = True
+        seq_ids = [ds.sequence_ids[i] for i in local_idxs] + [""] * (
+            Bl - len(local_idxs)
+        )
+        # label selection depends on the FULL batch's positives (in-batch
+        # sampling) — always computed globally so every process agrees
         batch_label_lists = [ds.label_id_lists[i] for i in idxs]
 
         rng_lab = np.random.default_rng([self.seed, self._epoch, 1299709, bi])
@@ -259,9 +303,12 @@ class BucketBatcher:
 
         multihots = None
         if self.return_label_multihots:
-            mh = _multihot(batch_label_lists, L).astype(np.float32)
-            if n < B:
-                mh = np.concatenate([mh, np.zeros((B - n, L), np.float32)])
+            local_lists = [ds.label_id_lists[i] for i in local_idxs]
+            mh = _multihot(local_lists, L).astype(np.float32)
+            if len(local_lists) < Bl:
+                mh = np.concatenate(
+                    [mh, np.zeros((Bl - len(local_lists), L), np.float32)]
+                )
             if sel is not None:
                 mh = mh[:, sel]
             if lp > ls:
@@ -304,6 +351,9 @@ class BucketBatcher:
             label_indices=label_indices,
             label_token_counts=tok,
             label_description_indices=desc_idx,
+            row_offset=lo,
+            global_batch_size=None if shard is None else B,
+            global_valid_count=n,
         )
 
 
@@ -336,6 +386,9 @@ class GridBatcher:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
         self.inner.set_epoch(epoch)
+
+    def set_row_shard(self, shard) -> None:
+        self.inner.set_row_shard(shard)
 
     def num_tiles(self) -> int:
         return -(-self.ds.num_labels // self.labels_batch_size)
@@ -412,6 +465,9 @@ class GridBatcher:
             label_indices=tile,
             label_token_counts=expand(batch.label_token_counts),
             label_description_indices=expand(batch.label_description_indices),
+            row_offset=batch.row_offset,
+            global_batch_size=batch.global_batch_size,
+            global_valid_count=batch.global_valid_count,
         )
 
 

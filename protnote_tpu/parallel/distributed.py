@@ -107,3 +107,56 @@ def global_device_put_batch(arrays: Dict[str, Any],
         k: global_device_put(v, shardings.get(k, default))
         for k, v in arrays.items()
     }
+
+
+def process_dp_block(mesh) -> Optional[tuple]:
+    """This process's contiguous block of the mesh ``dp`` axis.
+
+    Returns (start, count, total) dp rows owned entirely by this process, or
+    None when the layout does not allow a clean per-process row split (a dp
+    row spanning several processes, or non-contiguous local rows) — callers
+    then fall back to full batch assembly.  Feeds
+    ``BucketBatcher.set_row_shard`` (reference per-rank split,
+    samplers.py:15-63)."""
+    dev = np.asarray(mesh.devices)
+    if dev.ndim == 1:
+        dev = dev[:, None]
+    pidx = jax.process_index()
+    local = []
+    for i in range(dev.shape[0]):
+        owners = {d.process_index for d in dev[i].ravel()}
+        if owners == {pidx}:
+            local.append(i)
+        elif pidx in owners:
+            return None  # row split across processes
+    if not local or local != list(range(local[0], local[0] + len(local))):
+        return None
+    return local[0], len(local), dev.shape[0]
+
+
+def global_device_put_rows(local_rows: np.ndarray, row_offset: int,
+                           global_rows: int, sharding: NamedSharding):
+    """Local row block -> global device array (strided batch assembly).
+
+    ``local_rows`` holds global rows [row_offset, row_offset + len) of a
+    (global_rows, ...) array whose dim 0 is sharded such that this process's
+    devices only address rows inside that block (guaranteed by
+    ``process_dp_block``)."""
+    local_rows = np.asarray(local_rows)
+    shape = (global_rows,) + local_rows.shape[1:]
+
+    def cb(idx):
+        r = idx[0]
+        lo = 0 if r.start is None else r.start
+        hi = global_rows if r.stop is None else r.stop
+        if lo < row_offset or hi > row_offset + local_rows.shape[0]:
+            raise ValueError(
+                f"device requests rows [{lo}, {hi}) outside the local block "
+                f"[{row_offset}, {row_offset + local_rows.shape[0]}) — mesh "
+                f"dp layout does not match the strided assembly"
+            )
+        block = local_rows[lo - row_offset : hi - row_offset]
+        rest = tuple(idx[1:])
+        return block[(slice(None),) + rest] if rest else block
+
+    return jax.make_array_from_callback(shape, sharding, cb)

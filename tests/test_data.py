@@ -92,3 +92,54 @@ def test_blosum_augment_ids_vectorised(rng):
     sel = out != ids
     for a, b in zip(ids[sel][:100], out[sel][:100]):
         assert BLOSUM62[vocab[a]][vocab[b]] >= 0
+
+
+def test_strided_assembly_tiles_into_full(tmp_path, rng):
+    """set_row_shard (multi-process strided assembly, VERDICT r2 missing #3):
+    the per-shard row blocks concatenate to exactly the full assembly —
+    including BLOSUM augmentation, whose RNG is keyed per global row."""
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.fasta import save_to_fasta
+
+    labels = [f"GO:{i:07d}" for i in range(9)]
+    recs = []
+    for i in range(19):
+        seq = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 40))
+        recs.append((seq, f"S{i}", list(rng.choice(labels, 2, replace=False))))
+    save_to_fasta(recs, str(tmp_path / "s.fasta"))
+    ds = ProteinDataset(
+        str(tmp_path / "s.fasta"),
+        DatasetConfig(dataset_type="train", augment_residue_probability=0.3),
+    )
+
+    def batches(shard):
+        b = BucketBatcher(ds, 8, buckets=(64,), shuffle=True, seed=4)
+        b.set_epoch(2)
+        b.set_row_shard(shard)
+        return list(b)
+
+    full = batches(None)
+    parts = [batches((s, 1, 4)) for s in range(4)]
+    assert all(len(p) == len(full) for p in parts)
+    for bi, fb in enumerate(full):
+        shards = [p[bi] for p in parts]
+        np.testing.assert_array_equal(
+            np.concatenate([s.aa_ids for s in shards]), fb.aa_ids)
+        np.testing.assert_array_equal(
+            np.concatenate([s.lengths for s in shards]), fb.lengths)
+        np.testing.assert_array_equal(
+            np.concatenate([s.example_mask for s in shards]), fb.example_mask)
+        np.testing.assert_array_equal(
+            np.concatenate([s.label_multihots for s in shards]),
+            fb.label_multihots)
+        for s in shards:
+            assert s.global_batch_size == 8
+            assert s.global_valid_count == fb.global_valid_count
+            # label-side arrays are identical (global) in every shard
+            np.testing.assert_array_equal(s.label_indices, fb.label_indices)
+    # divisibility guard
+    b = BucketBatcher(ds, 8, buckets=(64,))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        b.set_row_shard((0, 1, 3))
