@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--details", action="store_true")
-    ap.add_argument("--backend", choices=["auto", "tiled", "int8"], default="auto")
+    ap.add_argument("--backend", choices=["auto", "tiled", "int8", "int8-static"],
+                    default="auto")
     ap.add_argument("--label-tile", type=int, default=512,
                     help="label tile size for the tiled/int8 eval scorers")
     ap.add_argument("--train", action="store_true",
@@ -139,7 +140,9 @@ def main():
     pi_cfg = ProteInferConfig()  # full-size: 1100 channels, 5 blocks
     pn_cfg = ProtNoteConfig(
         compute_dtype=jnp.bfloat16,
-        pair_backend="tiled_int8" if args.backend == "int8" else "auto",
+        pair_backend=(
+            "tiled_int8" if args.backend in ("int8", "int8-static") else "auto"
+        ),
         label_tile=args.label_tile,
     )
     # Initialize parameters on the host CPU backend: dispatching dozens of
@@ -254,7 +257,6 @@ def main():
         # commit the state to the chip ONCE — host-committed leaves would
         # re-upload all params with every jit call
         ts = jax.device_put(ts, dev)
-        ev = make_eval_step(pi_cfg, pn_cfg)
         label_matrix = jax.device_put(
             np.ascontiguousarray(ds.label_view.embeddings, np.float32), dev
         )
@@ -276,6 +278,27 @@ def main():
             )
 
         latents = latents_fn(ts, label_matrix, jnp.asarray(first.label_rows))
+
+        if args.backend == "int8-static":
+            # calibrate static activation scales on the first batch's real
+            # encoder outputs, then bake them into the eval step's config
+            import dataclasses
+
+            from protnote_tpu.models.fusion import calibrate_int8
+
+            P_f0 = jax.jit(
+                lambda ts_, a, ln: embed_from_ids(
+                    ts_["enc_params"], ts_["enc_state"], a, ln, pi_cfg
+                )[0]
+            )(ts, arrays["aa_ids"], arrays["lengths"])
+            scales = calibrate_int8(
+                ts["trainable"]["protnote"], ts["model_state"], P_f0, pn_cfg,
+                label_latents=latents,
+            )
+            log(f"calibrated act scales: {[round(s, 5) for s in scales]}")
+            pn_cfg = dataclasses.replace(pn_cfg, int8_act_scales=scales)
+
+        ev = make_eval_step(pi_cfg, pn_cfg)
 
         def swap(arrays):
             out = {k: v for k, v in arrays.items()
@@ -456,9 +479,9 @@ def main():
     results["tiled"] = timeit_chained(tiled_step, P_e)
     log(f"tiled done: {results['tiled']*1e3:.1f} ms")
 
-    if args.backend == "int8":
+    if args.backend in ("int8", "int8-static"):
         from protnote_tpu.ops.pair_scorer import (
-            pair_logits_tiled_int8, quantize_folded,
+            calibrate_act_scales, pair_logits_tiled_int8, quantize_folded,
         )
 
         q = quantize_folded(folded)
@@ -468,6 +491,19 @@ def main():
         )
         results["tiled_int8"] = timeit_chained(int8_step, P_e)
         log(f"tiled_int8 done: {results['tiled_int8']*1e3:.1f} ms")
+
+        if args.backend == "int8-static":
+            scales = calibrate_act_scales(folded, P_e, L_e,
+                                          label_tile=args.label_tile)
+            log(f"calibrated act scales: {[round(s, 5) for s in scales]}")
+            q_s = quantize_folded(folded, act_scales=scales)
+            int8s_step = chain_pair(
+                lambda p, l: pair_logits_tiled_int8(
+                    q_s, p, l, label_tile=args.label_tile,
+                    compute_dtype=jnp.bfloat16)
+            )
+            results["tiled_int8_static"] = timeit_chained(int8s_step, P_e)
+            log(f"tiled_int8_static done: {results['tiled_int8_static']*1e3:.1f} ms")
 
     # Encoder forward (dilated CNN over T residues), chained via lengths.
     @jax.jit

@@ -60,6 +60,10 @@ class ProtNoteConfig:
     label_embedding_dropout: float = 0.0
     label_tile: int = 512
     compute_dtype: Any = jnp.float32
+    # calibrated static activation scales for the int8 path (one float per
+    # hidden layer, from ops.pair_scorer.calibrate_act_scales /
+    # Trainer.calibrate_int8); None = dynamic per-row quantization
+    int8_act_scales: Optional[Tuple[float, ...]] = None
     # auto (train: dense, eval: tiled) | dense | tiled | tiled_int8.
     # A hand-written Pallas pair kernel was benchmarked and removed: the
     # folded/tiled XLA path runs at 177 TFLOP/s (90% of v5e bf16 peak), and
@@ -121,6 +125,10 @@ class ProtNoteConfig:
             train_label_tile=params.get("TRAIN_STREAMING_LABEL_TILE", 0) or 0,
             train_streaming_cache=params.get("TRAIN_STREAMING_CACHE", None),
             pair_backend=params.get("PAIR_BACKEND", None) or "auto",
+            int8_act_scales=(
+                tuple(float(s) for s in params["INT8_ACT_SCALES"])
+                if params.get("INT8_ACT_SCALES") else None
+            ),
         )
         kw.update(overrides)
         allowed = ("auto", "dense", "tiled", "tiled_int8")
@@ -280,6 +288,43 @@ def compute_label_latents(
     return L_e
 
 
+def calibrate_int8(
+    params: Params,
+    state: Params,
+    sequence_embeddings: jnp.ndarray,
+    cfg: ProtNoteConfig,
+    label_embeddings: Optional[jnp.ndarray] = None,
+    label_latents: Optional[jnp.ndarray] = None,
+    label_attention_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[float, ...]:
+    """Calibrated static activation scales for ``pair_backend='tiled_int8'``.
+
+    Projects one batch through the towers and measures each hidden GEMM's
+    input range (ops.pair_scorer.calibrate_act_scales); feed the result into
+    ``ProtNoteConfig(int8_act_scales=...)`` (or config key INT8_ACT_SCALES)
+    to replace the per-row dynamic quantization with constant scales."""
+    from protnote_tpu.ops.pair_scorer import calibrate_act_scales
+
+    P_e, _ = projection_head_apply(
+        params["W_p"], state["W_p"],
+        sequence_embeddings.astype(cfg.compute_dtype), cfg, train=False,
+    )
+    if label_latents is None:
+        if label_embeddings is None:
+            raise ValueError("need label_embeddings or label_latents")
+        label_latents = compute_label_latents(
+            params, state, label_embeddings, cfg, label_attention_mask
+        )
+    folded = fold_output_mlp(
+        params["output_mlp"], state.get("output_mlp"), cfg.feature_fusion,
+        cfg.latent_dim, dtype=cfg.compute_dtype,
+    )
+    return calibrate_act_scales(
+        folded, P_e, label_latents.astype(cfg.compute_dtype),
+        label_tile=cfg.label_tile,
+    )
+
+
 # ----------------------------------------------------------------------
 # full forward
 
@@ -435,7 +480,8 @@ def protnote_forward(
                 )
 
                 logits = pair_logits_tiled_int8(
-                    quantize_folded(folded), P_e, L_e,
+                    quantize_folded(folded, act_scales=cfg.int8_act_scales),
+                    P_e, L_e,
                     label_tile=cfg.label_tile, compute_dtype=cfg.compute_dtype,
                 )
             else:
