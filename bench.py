@@ -41,6 +41,9 @@ def main():
                     help="benchmark the full training step instead of inference")
     ap.add_argument("--remat", action="store_true",
                     help="train bench with gradient checkpointing")
+    ap.add_argument("--moments-bf16", action="store_true",
+                    help="train bench with bf16 Adam first moments "
+                         "(OPTIMIZER_MOMENT_DTYPE)")
     ap.add_argument("--stream", type=int, default=0, metavar="TILE",
                     help="train bench with the streamed exact-BN scorer")
     ap.add_argument("--stream-cache", choices=["auto", "on", "off"],
@@ -325,16 +328,15 @@ def main():
             acc = DeviceEvalAccumulator(L, 0.5)
             raw_ev = make_eval_step(pi_cfg, pn_cfg, jit=False)
             upd = acc.update_fn
-            cols = jnp.arange(L, dtype=jnp.int32)
             ones_lm = jnp.ones((L,), jnp.float32)
 
-            # forward + metric update fused into ONE dispatch per batch
-            # (VERDICT r2 weak #2: the separate accumulator jit cost 17%)
+            # forward + metric update fused into ONE dispatch per batch;
+            # cols=None takes the dense-histogram fast path (no scatter)
             @partial(jax.jit, donate_argnums=(2,))
             def ev_fused(ts, arrays, mstate):
                 out = raw_ev(ts, arrays)
                 return upd(mstate, out["logits"], arrays["label_multihots"],
-                           arrays["example_mask"], ones_lm, cols)
+                           arrays["example_mask"], ones_lm, None)
 
             warm = swap(arrays)
             acc.state = ev_fused(ts, warm, acc.state)
@@ -421,7 +423,9 @@ def main():
                 args.stream_cache],
         )
         tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4,
-                             "CLIP_VALUE": 1.0})
+                             "CLIP_VALUE": 1.0,
+                             "OPTIMIZER_MOMENT_DTYPE":
+                                 "bfloat16" if args.moments_bf16 else None})
         ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
         loss_fn = get_loss_fn({"LOSS_FN": "FocalLoss", "FOCAL_LOSS_GAMMA": 2,
                                "FOCAL_LOSS_ALPHA": -1})
@@ -450,6 +454,7 @@ def main():
         print(json.dumps({
             "metric": f"train seqs/sec/chip (ProtNote step: B={B} x {L} GO labels,"
                       f" FocalLoss+Adam{'+remat' if args.remat else ''}"
+                      f"{'+bf16mom' if args.moments_bf16 else ''}"
                       f"{f'+stream{args.stream}' if args.stream else ''}"
                       f"{f'+zcache_{args.stream_cache}' if args.stream and args.stream_cache != 'auto' else ''},"
                       f" {dev.device_kind}; baseline = per-V100 rate of the"

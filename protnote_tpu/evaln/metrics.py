@@ -542,20 +542,34 @@ class DeviceEvalAccumulator:
             "covered": jnp.zeros((), jnp.int32),
         }
         th, nb = self.threshold, self.num_bins
-        half = num_labels * num_bins
 
         def update_fn(state, logits, targets, example_mask, label_mask, cols):
+            """``cols=None`` (STATIC) = the batch's columns ARE label rows
+            0..L-1 — the common full-vocabulary eval.  The histogram and
+            confusion increments are then computed as dense compare-reduces
+            and plain adds: the element-wise scatter-add of B*L histogram
+            updates was measured to cost ~17% of eval throughput on TPU
+            (scatters serialize; the dispatch fusion alone recovered
+            nothing).  With real ``cols`` the increments scatter by ROW
+            (512-wide contiguous rows), which the TPU handles far better
+            than element scatters."""
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             valid = (example_mask[:, None] > 0) & (label_mask[None, :] > 0)
             t = (targets > 0) & valid
             pred = (probs > th) & valid
             new = dict(state)
-            new["tp"] = state["tp"].at[cols].add(
-                jnp.sum(pred & t, axis=0).astype(jnp.int32))
-            new["fp"] = state["fp"].at[cols].add(
-                jnp.sum(pred & ~t, axis=0).astype(jnp.int32))
-            new["fn"] = state["fn"].at[cols].add(
-                jnp.sum(~pred & t, axis=0).astype(jnp.int32))
+            L = probs.shape[1]
+            tp_inc = jnp.sum(pred & t, axis=0).astype(jnp.int32)
+            fp_inc = jnp.sum(pred & ~t, axis=0).astype(jnp.int32)
+            fn_inc = jnp.sum(~pred & t, axis=0).astype(jnp.int32)
+            if cols is None:
+                new["tp"] = state["tp"] + tp_inc
+                new["fp"] = state["fp"] + fp_inc
+                new["fn"] = state["fn"] + fn_inc
+            else:
+                new["tp"] = state["tp"].at[cols].add(tp_inc)
+                new["fp"] = state["fp"].at[cols].add(fp_inc)
+                new["fn"] = state["fn"].at[cols].add(fn_inc)
             # samplewise (rows with no valid labels contribute nothing)
             row_valid = example_mask > 0
             tp_row = jnp.sum(pred & t, axis=1)
@@ -570,29 +584,50 @@ class DeviceEvalAccumulator:
                 jnp.where(row_valid, r, 0.0))
             new["recall_count"] = state["recall_count"] + jnp.sum(row_valid)
             new["covered"] = state["covered"] + jnp.sum(has_pred)
-            # binned AUPRC histograms, scattered into full-vocab rows; one
-            # scatter covers positives and negatives (invalid elements
-            # contribute +0 wherever they land)
+            # binned AUPRC histograms: per-label bin counts via a dense
+            # compare-reduce over the batch axis (B*L*nb predicated adds,
+            # fully vectorial on the VPU — no element scatter)
             bins = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
-            flat = cols[None, :] * nb + bins + jnp.where(t, 0, half)
-            new["hist"] = state["hist"].at[flat.reshape(-1)].add(
-                valid.reshape(-1).astype(jnp.int32))
+            iota = jnp.arange(nb, dtype=jnp.int32)
+            eq = bins[:, :, None] == iota  # (B, L, nb), fused into the sums
+            pos_inc = jnp.sum(
+                eq & t[:, :, None], axis=0, dtype=jnp.int32)  # (L, nb)
+            neg_inc = jnp.sum(
+                eq & (valid & ~t)[:, :, None], axis=0, dtype=jnp.int32)
+            hist2d = state["hist"].reshape(2 * state["tp"].shape[0], nb)
+            if cols is None:
+                inc = jnp.concatenate([pos_inc, neg_inc], axis=0)
+                hist2d = hist2d + inc
+            else:
+                hist2d = hist2d.at[cols].add(pos_inc)
+                hist2d = hist2d.at[cols + state["tp"].shape[0]].add(neg_inc)
+            new["hist"] = hist2d.reshape(-1)
             return new
 
         # pure, un-jitted: the trainer fuses this into the jitted eval step
         # (one dispatch per batch; VERDICT r2 weak #2 — the separate
         # accumulator dispatch cost 17% of eval throughput)
+        # (cols=None is an empty pytree — jit caches the two structures)
         self.update_fn = update_fn
         self._update = jax.jit(update_fn, donate_argnums=(0,))
 
-    @staticmethod
-    def cols_for(label_indices, L: int):
-        """Scatter columns for a batch: identity when the batch covers the
-        label prefix, else the batch's real vocab ids (padded slots -> 0,
-        where the masked elements contribute nothing)."""
+    def cols_for(self, label_indices, L: int):
+        """Scatter columns for a batch, or None for the dense fast path
+        (the batch's L columns ARE label rows 0..L-1 of the accumulator —
+        any full-vocabulary eval).  Padded subset slots scatter to row 0,
+        where their masked elements contribute nothing."""
         if label_indices is None:
+            if L == self.num_labels:
+                return None
             return jnp.arange(L, dtype=jnp.int32)
-        cols = jnp.asarray(label_indices, jnp.int32)
+        li = np.asarray(label_indices)
+        # dense path needs the batch's column count to equal the accumulator
+        # width too — mesh label-axis padding can make L > num_labels even
+        # when the indices cover the whole vocab in order
+        if li.size == L and L == self.num_labels \
+                and np.array_equal(li, np.arange(li.size)):
+            return None  # covers every label in order -> identity
+        cols = jnp.asarray(li, jnp.int32)
         if cols.shape[0] < L:
             cols = jnp.pad(cols, (0, L - cols.shape[0]))
         return cols

@@ -23,13 +23,18 @@ def make_optimizer(params_cfg: Dict[str, Any],
     wd = params_cfg.get("WEIGHT_DECAY", 0.0)
     clip = params_cfg.get("CLIP_VALUE")
     accum = params_cfg.get("GRADIENT_ACCUMULATION_STEPS", 1) or 1
+    # OPTIMIZER_MOMENT_DTYPE: "bfloat16" halves Adam's m/v memory (the train
+    # OOM boundary is HBM-bound at full label vocab; bf16 moments are the
+    # standard large-model trade — params/grads/updates stay f32)
+    mu_dtype = params_cfg.get("OPTIMIZER_MOMENT_DTYPE")
+    mu_dtype = None if not mu_dtype else getattr(jax.numpy, str(mu_dtype))
 
     if name == "Adam":
-        base = optax.adam(lr)
+        base = optax.adam(lr, mu_dtype=mu_dtype)
     elif name == "AdamW":
-        base = optax.adamw(lr, weight_decay=wd)
+        base = optax.adamw(lr, weight_decay=wd, mu_dtype=mu_dtype)
     elif name == "SGD":
-        base = optax.sgd(lr, momentum=0.9)
+        base = optax.sgd(lr, momentum=0.9, accumulator_dtype=mu_dtype)
     else:
         raise ValueError(f"Unknown optimizer {name}")
 

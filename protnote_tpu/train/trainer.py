@@ -475,6 +475,7 @@ class Trainer:
                 )
                 return out, new_state
 
+            # cols=None (full-vocab identity) and cols=array trace separately
             self._fused_eval_steps[key] = jax.jit(fused, donate_argnums=(2,))
         return self._fused_eval_steps[key]
 

@@ -242,3 +242,35 @@ def test_sharded_streamed_matches_replicated(setup, rng):
     a = np.asarray(ts_ref["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
     b = np.asarray(ts_out["trainable"]["protnote"]["W_p"]["layers"][0]["kernel"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_adam_moments():
+    """OPTIMIZER_MOMENT_DTYPE=bfloat16 stores Adam's first moment in bf16
+    and trains to a loss close to the f32-moment run."""
+    import jax.numpy as jnp
+    import optax
+
+    from protnote_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((8, 4)), "b": jnp.zeros((4,))}
+    tx16 = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-2,
+                           "OPTIMIZER_MOMENT_DTYPE": "bfloat16"})
+    tx32 = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-2})
+    s16, s32 = tx16.init(params), tx32.init(params)
+    mu_leaf = jax.tree_util.tree_leaves(
+        [x for x in jax.tree_util.tree_leaves(s16)
+         if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    )
+    assert mu_leaf, "bf16 moments not present in optimizer state"
+
+    grads = {"w": jnp.full((8, 4), 0.1), "b": jnp.full((4,), -0.2)}
+    p16, p32 = params, params
+    for _ in range(5):
+        u16, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+    for a, b in zip(jax.tree_util.tree_leaves(p16),
+                    jax.tree_util.tree_leaves(p32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3)
