@@ -586,14 +586,21 @@ class DeviceEvalAccumulator:
             new["covered"] = state["covered"] + jnp.sum(has_pred)
             # binned AUPRC histograms: per-label bin counts via a dense
             # compare-reduce over the batch axis (B*L*nb predicated adds,
-            # fully vectorial on the VPU — no element scatter)
+            # fully vectorial on the VPU — no element scatter).  ONE packed
+            # pass serves both histograms: per-element weight = pos-count in
+            # the low 16 bits, valid-count in the high 16 (B < 32768 keeps
+            # both halves and the sign bit clear), so the (B, L, nb)
+            # compare-select-reduce — the dominant metric cost — runs once
+            # instead of twice; pos/neg unpack with shifts afterwards.
             bins = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
             iota = jnp.arange(nb, dtype=jnp.int32)
-            eq = bins[:, :, None] == iota  # (B, L, nb), fused into the sums
-            pos_inc = jnp.sum(
-                eq & t[:, :, None], axis=0, dtype=jnp.int32)  # (L, nb)
-            neg_inc = jnp.sum(
-                eq & (valid & ~t)[:, :, None], axis=0, dtype=jnp.int32)
+            eq = bins[:, :, None] == iota  # (B, L, nb), fused into the sum
+            w = t.astype(jnp.int32) + (valid.astype(jnp.int32) << 16)
+            packed = jnp.sum(
+                jnp.where(eq, w[:, :, None], 0), axis=0,
+                dtype=jnp.int32)  # (L, nb)
+            pos_inc = packed & 0xFFFF
+            neg_inc = (packed >> 16) - pos_inc
             hist2d = state["hist"].reshape(2 * state["tp"].shape[0], nb)
             if cols is None:
                 inc = jnp.concatenate([pos_inc, neg_inc], axis=0)
