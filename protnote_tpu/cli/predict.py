@@ -174,6 +174,9 @@ def main(argv=None):
         return np.concatenate([blocks[c] for c in order], axis=1)
 
     shard_rows, shard_ids, shard_no, written = [], [], 0, 0
+    # int8 serving: calibrate static activation scales from the first batch
+    # unless INT8_ACT_SCALES were supplied (INT8_CALIBRATE=False opts out)
+    trainer.ensure_int8_calibrated(batcher)
     latents = None
     latents_ok = trainer._latents_eligible(batcher)
     t0 = time.perf_counter()

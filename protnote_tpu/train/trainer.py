@@ -70,6 +70,11 @@ class TrainerConfig:
     # per-step non-finite loss/grad check (forces a host sync every step —
     # the checkify-style debug flag proposed in SURVEY.md §5.2)
     debug_nan: bool = False
+    # auto-calibrate static int8 activation scales on the first batch of the
+    # first evaluation when PAIR_BACKEND=tiled_int8 and no INT8_ACT_SCALES
+    # were supplied (static scales are both faster — 242 vs 205 seqs/s
+    # end-to-end — and drop the dynamic subsample-max clip risk)
+    int8_calibrate: bool = True
 
     @classmethod
     def from_params(cls, params: Dict, **overrides) -> "TrainerConfig":
@@ -82,6 +87,7 @@ class TrainerConfig:
             estimate_map=params.get("ESTIMATE_MAP", False),
             seed=params.get("SEED", 42),
             debug_nan=params.get("DEBUG_NAN", False),
+            int8_calibrate=params.get("INT8_CALIBRATE", True),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -388,6 +394,18 @@ class Trainer:
         if batch.global_valid_count is not None:
             return int(batch.global_valid_count)
         return int(batch.example_mask.sum())
+
+    def ensure_int8_calibrated(self, batcher) -> None:
+        """Auto-calibrate static int8 activation scales once (first batch)
+        when the int8 backend is active and no scales were supplied.
+        No-op otherwise; disable with INT8_CALIBRATE=False to keep the
+        dynamic per-row-scale path."""
+        if (
+            self.cfg.int8_calibrate
+            and self.pn_cfg.pair_backend == "tiled_int8"
+            and self.pn_cfg.int8_act_scales is None
+        ):
+            self.calibrate_int8(batcher)
 
     def calibrate_int8(self, batcher) -> tuple:
         """Calibrate static int8 activation scales on the first batch and
@@ -708,6 +726,7 @@ class Trainer:
         threshold by ``decision_th_metric_name`` lands in
         ``result["threshold"]``."""
         self._maybe_stride(batcher)
+        self.ensure_int8_calibrated(batcher)
         ds = dataset if dataset is not None else batcher.ds
         num_labels = ds.num_labels
         represented = (

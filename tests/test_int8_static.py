@@ -160,3 +160,49 @@ def test_dynamic_subsample_outlier_clip_bounded():
     # and the clipped result differs materially from the unclipped exact
     # value — i.e. this test genuinely exercises the clip path
     assert abs(ref[5] - ref_clip) > 10 * abs(got[5] - ref_clip)
+
+
+def test_trainer_auto_calibrates_int8_on_evaluate(rng):
+    """CLI/Trainer wiring: with PAIR_BACKEND=tiled_int8 and no supplied
+    scales, the first evaluate() calibrates static activation scales from
+    the first batch (INT8_CALIBRATE default); INT8_CALIBRATE=False keeps
+    the dynamic per-row path."""
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.losses import get_loss_fn
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_device_label_gather import build_dataset
+
+    PI = ProteInferConfig(output_channels=32, kernel_size=5,
+                          num_resnet_blocks=2, num_labels=8)
+    PN = ProtNoteConfig(protein_embedding_dim=32, label_embedding_dim=16,
+                        latent_dim=16, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2,
+                        output_mlp_hidden_dim_scale_factor=2,
+                        label_tile=8, pair_backend="tiled_int8")
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    loss_fn = get_loss_fn({"LOSS_FN": "BCE"})
+    ds = build_dataset(rng)
+
+    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
+    tr = Trainer(ts, PI, PN, loss_fn, tx, TrainerConfig())
+    assert tr.pn_cfg.int8_act_scales is None
+    m = tr.evaluate(BucketBatcher(ds, 4, buckets=(64,)))["metrics"]
+    assert tr.pn_cfg.int8_act_scales is not None
+    assert all(s > 0 for s in tr.pn_cfg.int8_act_scales)
+    assert np.isfinite(m["loss"])
+    # second evaluate must NOT recalibrate (scales are frozen)
+    frozen = tr.pn_cfg.int8_act_scales
+    tr.evaluate(BucketBatcher(ds, 4, buckets=(64,)))
+    assert tr.pn_cfg.int8_act_scales is frozen
+
+    ts2 = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
+    tr2 = Trainer(ts2, PI, PN, loss_fn, tx,
+                  TrainerConfig(int8_calibrate=False))
+    tr2.evaluate(BucketBatcher(ds, 4, buckets=(64,)))
+    assert tr2.pn_cfg.int8_act_scales is None

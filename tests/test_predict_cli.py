@@ -95,3 +95,34 @@ def test_proteinfer_cli(env):
     ])
     assert 0 <= res["map_micro"] <= 1
     assert np.isfinite(res["f1_macro"])
+
+
+def test_predict_cli_int8_auto_calibrates(env, capsys):
+    """PAIR_BACKEND=tiled_int8 through the predict CLI: static activation
+    scales auto-calibrate from the first batch (INT8_CALIBRATE default) and
+    the logits stay close to the default backend's."""
+    import pandas as pd
+
+    from protnote_tpu.cli.predict import main
+
+    main([
+        "--fasta", str(env / "query.fasta"), "--name", "pq",
+        "--rows-per-shard", "100", "--batch-size", "4",
+        "--override", *TINY, "PAIR_BACKEND", "tiled_int8",
+    ])
+    main([
+        "--fasta", str(env / "query.fasta"), "--name", "pf",
+        "--rows-per-shard", "100", "--batch-size", "4",
+        "--override", *TINY,
+    ])
+    capsys.readouterr()
+    q = sorted(glob.glob(str(
+        env / "outputs" / "results" / "predict_logits_*pq_*.parquet")))
+    f = sorted(glob.glob(str(
+        env / "outputs" / "results" / "predict_logits_*pf_*.parquet")))
+    assert q and f
+    dq = pd.concat([pd.read_parquet(s) for s in q]).sort_index()
+    df = pd.concat([pd.read_parquet(s) for s in f]).sort_index()
+    pq_ = 1 / (1 + np.exp(-dq.to_numpy()))
+    pf = 1 / (1 + np.exp(-df.to_numpy()))
+    assert np.max(np.abs(pq_ - pf)) < 5e-2
