@@ -201,17 +201,21 @@ def get_setup(
     try:
         import jax
 
-        if jax.process_count() > 1:
-            import numpy as _np
-            from jax.experimental import multihost_utils
+        nproc = jax.process_count()
+    except Exception:  # jax absent/uninitialised (pure host-side tooling)
+        nproc = 1
+    if nproc > 1:
+        # a FAILED broadcast must not silently fall back to per-process
+        # timestamps — divergent run names recreate the checkpoint-path
+        # collective deadlock this broadcast exists to prevent
+        import numpy as _np
+        from jax.experimental import multihost_utils
 
-            raw = _np.frombuffer(
-                timestamp.encode().ljust(32), dtype=_np.uint8
-            ).copy()
-            raw = _np.asarray(multihost_utils.broadcast_one_to_all(raw))
-            timestamp = raw.tobytes().decode().strip()
-    except Exception:  # jax not initialised yet (pure host-side tooling)
-        pass
+        raw = _np.frombuffer(
+            timestamp.encode().ljust(32), dtype=_np.uint8
+        ).copy()
+        raw = _np.asarray(multihost_utils.broadcast_one_to_all(raw))
+        timestamp = raw.tobytes().decode().strip()
     full_run_name = f"{timestamp}_{run_name}"
 
     # Dataset-role selection by config key name (reference contract).

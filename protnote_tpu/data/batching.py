@@ -244,7 +244,11 @@ class BucketBatcher:
             shard = (start, count, total)
         self.row_shard = shard
 
-    def _build_batch(self, idxs: np.ndarray, bucket: int, bi: int) -> Batch:
+    def _build_batch(
+        self, idxs: np.ndarray, bucket: int, bi: int,
+        label_cols: Optional[np.ndarray] = None,
+        label_pad: Optional[int] = None,
+    ) -> Batch:
         """Assemble one batch from its plan entry.
 
         All randomness (residue augmentation, per-epoch description sampling,
@@ -253,7 +257,13 @@ class BucketBatcher:
         rebuilt independently of iteration order (GridBatcher assembles
         (batch, tile) pairs lazily; ADVICE r2) and a row-sharded assembly
         (``set_row_shard``) produces exactly the rows the full assembly
-        would."""
+        would.
+
+        ``label_cols`` restricts the label axis to the given vocab ids
+        (padded to ``label_pad`` slots): the GridBatcher's per-tile build,
+        which never touches full-vocabulary-width arrays — a shuffled grid
+        epoch would otherwise assemble the (B, L) multihot once per
+        (batch, tile) pair."""
         ds = self.ds
         view = ds.label_view
         train_sampling = (
@@ -296,21 +306,36 @@ class BucketBatcher:
         # sampling) — always computed globally so every process agrees
         batch_label_lists = [ds.label_id_lists[i] for i in idxs]
 
-        rng_lab = np.random.default_rng([self.seed, self._epoch, 1299709, bi])
-        sel, lp = self._select_labels(batch_label_lists, rng_lab)
+        if label_cols is not None:
+            sel = np.asarray(label_cols, dtype=np.int64)
+            lp = int(label_pad) if label_pad is not None else len(sel)
+        else:
+            rng_lab = np.random.default_rng([self.seed, self._epoch, 1299709, bi])
+            sel, lp = self._select_labels(batch_label_lists, rng_lab)
         ls = L if sel is None else len(sel)
         label_indices = np.arange(L, dtype=np.int64) if sel is None else sel
 
         multihots = None
         if self.return_label_multihots:
             local_lists = [ds.label_id_lists[i] for i in local_idxs]
-            mh = _multihot(local_lists, L).astype(np.float32)
+            if sel is not None and len(sel) <= L // 4:
+                # column-restricted construction: O(B * positives) instead
+                # of a (B, L) full-vocabulary alloc + slice
+                pos = np.full(L, -1, dtype=np.int32)
+                pos[sel] = np.arange(len(sel), dtype=np.int32)
+                mh = np.zeros((len(local_lists), len(sel)), np.float32)
+                for i, ids in enumerate(local_lists):
+                    ids = np.asarray(ids, dtype=np.int64)
+                    p = pos[ids[(ids >= 0) & (ids < L)]]
+                    mh[i, p[p >= 0]] = 1.0
+            else:
+                mh = _multihot(local_lists, L).astype(np.float32)
+                if sel is not None:
+                    mh = mh[:, sel]
             if len(local_lists) < Bl:
                 mh = np.concatenate(
-                    [mh, np.zeros((Bl - len(local_lists), L), np.float32)]
+                    [mh, np.zeros((Bl - len(local_lists), mh.shape[1]), np.float32)]
                 )
-            if sel is not None:
-                mh = mh[:, sel]
             if lp > ls:
                 mh = np.pad(mh, ((0, 0), (0, lp - ls)))
             multihots = mh
@@ -409,66 +434,20 @@ class GridBatcher:
         # Assemble each (batch, tile) pair lazily — the epoch is never
         # materialised (a reference-scale epoch of full-vocab Batch objects
         # holds ~50-60 GB of (B, L) multihots; the reference's
-        # GridBatchSampler also stores only index lists, samplers.py:127-224).
-        # Per-pair rebuild cost is O(B*bucket) int8 copies; the same batch
-        # index rebuilds identically because _build_batch keys its RNG
-        # streams by batch index.  Consecutive visits to the same batch are
-        # memoised below so sorted pair orders pay assembly once per batch.
-        last_bi, last_batch = -1, None
+        # GridBatchSampler also stores only index lists, samplers.py:127-224)
+        # — and COLUMN-RESTRICTED: `label_cols` keeps every per-pair build
+        # O(B*bucket + B*tile), never full-vocabulary width (a shuffled
+        # epoch visits each batch once per tile, so a full-width build here
+        # would multiply host assembly work by num_tiles).  The same
+        # (batch, tile) pair rebuilds identically because _build_batch keys
+        # its RNG streams by batch index.
         for bi, ti in pairs:
-            if bi != last_bi:
-                idxs, bucket = plan[bi]
-                last_bi, last_batch = bi, self.inner._build_batch(idxs, bucket, bi)
-            yield self._tile(last_batch, np.asarray(tiles[ti], dtype=np.int64))
-
-    def _tile(self, batch: Batch, tile: np.ndarray) -> Batch:
-        lbs = self.labels_batch_size
-        s = len(tile)
-        k = 1
-        if batch.label_rows is not None or batch.label_embeddings is not None:
-            width = (
-                batch.label_rows.shape[0]
-                if batch.label_rows is not None
-                else batch.label_embeddings.shape[0]
+            idxs, bucket = plan[bi]
+            yield self.inner._build_batch(
+                idxs, bucket, bi,
+                label_cols=np.asarray(tiles[ti], dtype=np.int64),
+                label_pad=lbs,
             )
-            lp_inner = batch.label_multihots.shape[1] if batch.label_multihots is not None else width
-            k = max(width // max(lp_inner, 1), 1)
-
-        def expand(arr):
-            """(Lp_inner*k, ...) -> tile blocks padded to (lbs*k, ...)."""
-            if arr is None:
-                return None
-            blocks = arr.reshape(-1, k, *arr.shape[1:])[tile]
-            if s < lbs:
-                pad = np.zeros((lbs - s, k, *arr.shape[1:]), dtype=arr.dtype)
-                blocks = np.concatenate([blocks, pad])
-            return blocks.reshape(lbs * k, *arr.shape[1:])
-
-        mh = None
-        if batch.label_multihots is not None:
-            mh = batch.label_multihots[:, tile]
-            if s < lbs:
-                mh = np.pad(mh, ((0, 0), (0, lbs - s)))
-        label_mask = None
-        if s < lbs:
-            label_mask = np.zeros(lbs, dtype=bool)
-            label_mask[:s] = True
-        return Batch(
-            aa_ids=batch.aa_ids,
-            lengths=batch.lengths,
-            example_mask=batch.example_mask,
-            sequence_ids=batch.sequence_ids,
-            label_embeddings=expand(batch.label_embeddings),
-            label_rows=expand(batch.label_rows),
-            label_multihots=mh,
-            label_mask=label_mask,
-            label_indices=tile,
-            label_token_counts=expand(batch.label_token_counts),
-            label_description_indices=expand(batch.label_description_indices),
-            row_offset=batch.row_offset,
-            global_batch_size=batch.global_batch_size,
-            global_valid_count=batch.global_valid_count,
-        )
 
 
 class PrefetchBatcher:

@@ -592,6 +592,12 @@ class DeviceEvalAccumulator:
             # both halves and the sign bit clear), so the (B, L, nb)
             # compare-select-reduce — the dominant metric cost — runs once
             # instead of twice; pos/neg unpack with shifts afterwards.
+            if probs.shape[0] >= (1 << 15):
+                raise ValueError(
+                    f"batch dimension {probs.shape[0]} overflows the packed "
+                    "int32 pos/valid histogram counts (max 32767 rows per "
+                    "update); split the batch"
+                )
             bins = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
             iota = jnp.arange(nb, dtype=jnp.int32)
             eq = bins[:, :, None] == iota  # (B, L, nb), fused into the sum

@@ -273,6 +273,7 @@ class Trainer:
         self._fused_eval_steps: Dict[Any, Any] = {}
         self.starting_epoch = 0
         self.epoch = 0
+        self._int8_scales_auto = False
         self.best_val_metric = -float("inf")
         self.best_val_loss = float("inf")
         self.meter = ThroughputMeter()
@@ -452,6 +453,7 @@ class Trainer:
             **self._eval_step_kwargs
         )
         self._fused_eval_steps = {}
+        self._int8_scales_auto = True
         logger.info("int8 static activation scales: %s",
                     [round(s, 6) for s in scales])
         return scales
@@ -589,6 +591,14 @@ class Trainer:
 
     def train_one_epoch(self, batcher: BucketBatcher, rng_key) -> Dict[str, float]:
         self._maybe_stride(batcher)
+        if self._int8_scales_auto and self.pn_cfg.int8_act_scales is not None:
+            # auto-calibrated scales are a function of the weights; training
+            # invalidates them, so the next evaluate() recalibrates (a stale
+            # scale clips activations that outgrew the frozen margin)
+            import dataclasses
+
+            self.pn_cfg = dataclasses.replace(
+                self.pn_cfg, int8_act_scales=None)
         num_batches = max(len(batcher), 1)
         log_every = max(int(num_batches * self.cfg.log_every_fraction), 1)
         losses = []
@@ -806,6 +816,7 @@ class Trainer:
                 jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
             )
             sweep_count = self._sweep_count_fn(jnp.asarray(threshold_sweep))
+        sweep_updates = 0
         all_logits, all_labels, all_ids = [], [], []
         emb_rows, emb_ids = [], []
         losses = []
@@ -850,6 +861,7 @@ class Trainer:
                         sweep_acc, out["logits"], arrays["label_multihots"],
                         arrays["example_mask"],
                     )
+                    sweep_updates += 1
                 self.meter.add(self._batch_valid(batch), num_labels)
                 continue
             out = self._eval_step(self.ts, arrays)
@@ -858,6 +870,7 @@ class Trainer:
                     sweep_acc, out["logits"], arrays["label_multihots"],
                     arrays["example_mask"],
                 )
+                sweep_updates += 1
             # periodic sequence-embedding export (reference exports embeddings
             # every 100 eval batches, ProtNoteTrainer.py:551-586)
             if save_embeddings and batch_idx % 100 == 0:
@@ -908,6 +921,12 @@ class Trainer:
 
         result: Dict[str, Any] = {}
         if sweep_acc is not None:
+            if sweep_updates == 0:
+                raise ValueError(
+                    "threshold sweep accumulated zero batches: the batcher "
+                    "is empty or carries no label_multihots (build it with "
+                    "return_label_multihots=True)"
+                )
             tp, fp, fn = (np.asarray(x).astype(np.int64) for x in sweep_acc)
             name = self.cfg.decision_th_metric_name
             scores = [

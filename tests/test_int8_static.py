@@ -206,3 +206,91 @@ def test_trainer_auto_calibrates_int8_on_evaluate(rng):
                   TrainerConfig(int8_calibrate=False))
     tr2.evaluate(BucketBatcher(ds, 4, buckets=(64,)))
     assert tr2.pn_cfg.int8_act_scales is None
+
+
+def test_training_invalidates_auto_int8_scales(rng):
+    """Auto-calibrated scales are a function of the weights: a training
+    epoch resets them so the next evaluate() recalibrates (a frozen stale
+    scale would clip activations that outgrew its margin)."""
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.losses import get_loss_fn
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_device_label_gather import build_dataset
+
+    PI = ProteInferConfig(output_channels=32, kernel_size=5,
+                          num_resnet_blocks=2, num_labels=8)
+    PN = ProtNoteConfig(protein_embedding_dim=32, label_embedding_dim=16,
+                        latent_dim=16, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2,
+                        output_mlp_hidden_dim_scale_factor=2,
+                        label_tile=8, pair_backend="tiled_int8")
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-2})
+    loss_fn = get_loss_fn({"LOSS_FN": "BCE"})
+    tr = Trainer(init_train_state(pn_p, pn_s, pi_p, pi_s, tx),
+                 PI, PN, loss_fn, tx, TrainerConfig())
+
+    eval_ds = build_dataset(rng)
+    train_ds = build_dataset(rng, dataset_type="train", n_seqs=8)
+    tr.evaluate(BucketBatcher(eval_ds, 4, buckets=(64,)))
+    first = tr.pn_cfg.int8_act_scales
+    assert first is not None
+    tr.train_one_epoch(
+        BucketBatcher(train_ds, 4, buckets=(64,), shuffle=True,
+                      drop_last=True, seed=0),
+        jax.random.PRNGKey(0),
+    )
+    assert tr.pn_cfg.int8_act_scales is None  # invalidated by training
+    tr.evaluate(BucketBatcher(eval_ds, 4, buckets=(64,)))
+    assert tr.pn_cfg.int8_act_scales is not None  # recalibrated
+
+    # user-supplied scales are never invalidated (fresh params: the first
+    # trainer's donated steps consumed the arrays above)
+    pi_p2, pi_s2 = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p2, pn_s2 = init_protnote(jax.random.PRNGKey(1), PN)
+    tr2 = Trainer(init_train_state(pn_p2, pn_s2, pi_p2, pi_s2, tx),
+                  PI, PN, loss_fn, tx, TrainerConfig())
+    tr2.pn_cfg = dataclasses.replace(tr2.pn_cfg, int8_act_scales=first)
+    tr2.train_one_epoch(
+        BucketBatcher(train_ds, 4, buckets=(64,), shuffle=True,
+                      drop_last=True, seed=0),
+        jax.random.PRNGKey(0),
+    )
+    assert tr2.pn_cfg.int8_act_scales == first
+
+
+def test_threshold_sweep_without_multihots_fails_loudly(rng):
+    """evaluate(threshold_sweep=...) on a batcher that carries no
+    label_multihots must raise, not ship a garbage threshold."""
+    import pytest
+
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.losses import get_loss_fn
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_device_label_gather import build_dataset
+
+    PI = ProteInferConfig(output_channels=32, kernel_size=5,
+                          num_resnet_blocks=2, num_labels=8)
+    PN = ProtNoteConfig(protein_embedding_dim=32, label_embedding_dim=16,
+                        latent_dim=16, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2,
+                        output_mlp_hidden_dim_scale_factor=2, label_tile=8)
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    loss_fn = get_loss_fn({"LOSS_FN": "BCE"})
+    tr = Trainer(init_train_state(pn_p, pn_s, pi_p, pi_s, tx),
+                 PI, PN, loss_fn, tx, TrainerConfig())
+    ds = build_dataset(rng)
+    b = BucketBatcher(ds, 4, buckets=(64,), return_label_multihots=False)
+    with pytest.raises(ValueError, match="zero batches"):
+        tr.evaluate(b, threshold_sweep=np.linspace(0.1, 0.9, 5))
