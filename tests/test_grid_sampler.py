@@ -111,3 +111,39 @@ def test_prefetch_wrapped_grid_batcher_detected(tmp_path, rng):
     assert _is_grid(wrapped)
     assert not _is_grid(inner)
     assert not _is_grid(PrefetchBatcher(inner))
+
+
+def test_grid_tile_multihots_match_full_vocab_slice(tmp_path, rng):
+    """The column-restricted multihot construction (both the O(B*positives)
+    small-tile branch and the full-width-slice branch) must equal the
+    full-vocabulary batch's multihot sliced by the tile's columns, and the
+    tile's label embeddings must be the full batch's columns."""
+    ds = _dataset(tmp_path, rng)
+    L = ds.num_labels
+    kw = dict(batch_size=4, buckets=(64,), shuffle=True, drop_last=True,
+              seed=5)
+    full = {tuple(b.sequence_ids): b for b in BucketBatcher(ds, **kw)}
+    # lbs=2 <= L//4 exercises the O(B*positives) branch; lbs=L-1 > L//4
+    # exercises the slice branch (with one padded slot in the last tile)
+    for lbs in (2, L - 1):
+        grid = GridBatcher(BucketBatcher(ds, **kw), labels_batch_size=lbs,
+                           shuffle_grid=True)
+        seen = 0
+        for b in grid:
+            fb = full[tuple(b.sequence_ids)]
+            tile = np.asarray(b.label_indices)
+            s = len(tile)
+            np.testing.assert_array_equal(b.aa_ids, fb.aa_ids)
+            np.testing.assert_array_equal(
+                b.label_multihots[:, :s], fb.label_multihots[:, tile]
+            )
+            assert b.label_multihots.shape[1] == lbs
+            if s < lbs:  # padded label slots carry zero targets
+                assert b.label_multihots[:, s:].sum() == 0
+                assert not b.label_mask[s:].any()
+            if b.label_embeddings is not None and fb.label_embeddings is not None:
+                np.testing.assert_array_equal(
+                    b.label_embeddings[:s], fb.label_embeddings[tile]
+                )
+            seen += 1
+        assert seen == len(grid)
