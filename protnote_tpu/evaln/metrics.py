@@ -521,11 +521,19 @@ class DeviceEvalAccumulator:
     replacing the reference's per-batch CPU metric updates,
     ProtNoteTrainer.py:520-543)."""
 
-    def __init__(self, num_labels: int, threshold: float, num_bins: int = 512):
+    def __init__(self, num_labels: int, threshold: Optional[float] = None,
+                 num_bins: int = 512):
         if not _HAS_JAX:  # pragma: no cover
             raise RuntimeError("DeviceEvalAccumulator requires jax")
         self.num_labels = num_labels
-        self.threshold = float(threshold)
+        # threshold=None mirrors EvalMetrics(threshold=None): AP metrics
+        # only (a null-DECISION_TH validation pass, where the threshold is
+        # swept afterwards).  The confusion/samplewise counters still
+        # accumulate — at a 0.5 placeholder — but finalize_into drops them
+        # because the target EvalMetrics carries no confusion/samplewise
+        # accumulators; their cost is O(L) reduces, noise next to the
+        # (B, L, nb) histogram pass.
+        self.threshold = None if threshold is None else float(threshold)
         self.num_bins = num_bins
         self.state = {
             "tp": jnp.zeros(num_labels, jnp.int32),
@@ -541,7 +549,8 @@ class DeviceEvalAccumulator:
             "recall_count": jnp.zeros((), jnp.int32),
             "covered": jnp.zeros((), jnp.int32),
         }
-        th, nb = self.threshold, self.num_bins
+        th = 0.5 if self.threshold is None else self.threshold
+        nb = self.num_bins
 
         def update_fn(state, logits, targets, example_mask, label_mask, cols):
             """``cols=None`` (STATIC) = the batch's columns ARE label rows

@@ -288,7 +288,7 @@ def compute_label_latents(
     return L_e
 
 
-def calibrate_int8(
+def calibrate_int8_maxes(
     params: Params,
     state: Params,
     sequence_embeddings: jnp.ndarray,
@@ -296,14 +296,12 @@ def calibrate_int8(
     label_embeddings: Optional[jnp.ndarray] = None,
     label_latents: Optional[jnp.ndarray] = None,
     label_attention_mask: Optional[jnp.ndarray] = None,
-) -> Tuple[float, ...]:
-    """Calibrated static activation scales for ``pair_backend='tiled_int8'``.
-
-    Projects one batch through the towers and measures each hidden GEMM's
-    input range (ops.pair_scorer.calibrate_act_scales); feed the result into
-    ``ProtNoteConfig(int8_act_scales=...)`` (or config key INT8_ACT_SCALES)
-    to replace the per-row dynamic quantization with constant scales."""
-    from protnote_tpu.ops.pair_scorer import calibrate_act_scales
+) -> jnp.ndarray:
+    """Traceable core of :func:`calibrate_int8`: per-hidden-layer max |GEMM
+    input| as a (num_hidden,) f32 array, pure jnp (jit-safe — required on
+    multi-host meshes, where eager reductions over non-fully-addressable
+    arrays are forbidden)."""
+    from protnote_tpu.ops.pair_scorer import act_scale_maxes
 
     P_e, _ = projection_head_apply(
         params["W_p"], state["W_p"],
@@ -319,10 +317,36 @@ def calibrate_int8(
         params["output_mlp"], state.get("output_mlp"), cfg.feature_fusion,
         cfg.latent_dim, dtype=cfg.compute_dtype,
     )
-    return calibrate_act_scales(
+    return act_scale_maxes(
         folded, P_e, label_latents.astype(cfg.compute_dtype),
         label_tile=cfg.label_tile,
     )
+
+
+def calibrate_int8(
+    params: Params,
+    state: Params,
+    sequence_embeddings: jnp.ndarray,
+    cfg: ProtNoteConfig,
+    label_embeddings: Optional[jnp.ndarray] = None,
+    label_latents: Optional[jnp.ndarray] = None,
+    label_attention_mask: Optional[jnp.ndarray] = None,
+    margin: float = 1.05,
+) -> Tuple[float, ...]:
+    """Calibrated static activation scales for ``pair_backend='tiled_int8'``.
+
+    Projects one batch through the towers and measures each hidden GEMM's
+    input range (ops.pair_scorer.calibrate_act_scales); feed the result into
+    ``ProtNoteConfig(int8_act_scales=...)`` (or config key INT8_ACT_SCALES)
+    to replace the per-row dynamic quantization with constant scales."""
+    import numpy as np
+
+    maxes = np.asarray(calibrate_int8_maxes(
+        params, state, sequence_embeddings, cfg,
+        label_embeddings=label_embeddings, label_latents=label_latents,
+        label_attention_mask=label_attention_mask,
+    ))
+    return tuple(float(m) * margin / 127.0 for m in maxes)
 
 
 # ----------------------------------------------------------------------

@@ -33,6 +33,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from protnote_tpu.models.layers import (
     Params,
@@ -313,6 +314,42 @@ def quantize_folded(
     )
 
 
+def act_scale_maxes(
+    folded: FoldedOutputMLP,
+    P_e: jnp.ndarray,
+    L_e: jnp.ndarray,
+    label_tile: int = 512,
+    max_tiles: int = 4,
+) -> jnp.ndarray:
+    """Traceable core of :func:`calibrate_act_scales`: the per-hidden-layer
+    max |GEMM input| over a calibration batch, as one (num_hidden,) f32
+    array.  Pure jnp (no host sync) so callers can jit it — a multi-host
+    trainer MUST: eager reductions on non-fully-addressable global arrays
+    are forbidden outside jit."""
+    B, d = P_e.shape
+    L = L_e.shape[0]
+    a = jnp.dot(P_e.astype(jnp.bfloat16), folded.w1_p.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    c = (
+        jnp.dot(L_e.astype(jnp.bfloat16), folded.w1_l.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        + folded.b1.astype(jnp.float32)
+    )
+    num_tiles = min(-(-L // label_tile), max_tiles)
+    maxes = [jnp.float32(0.0)] * len(folded.hidden)
+    for t in range(num_tiles):
+        c_t = c[t * label_tile : (t + 1) * label_tile]
+        h = jax.nn.relu(a[:, None, :] + c_t[None, :, :]).reshape(
+            B * c_t.shape[0], -1
+        )
+        for i, (W, b) in enumerate(folded.hidden):
+            maxes[i] = jnp.maximum(maxes[i], jnp.max(jnp.abs(h)))
+            h = jnp.dot(h.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            h = jax.nn.relu(h + b.astype(jnp.float32))
+    return jnp.stack(maxes)
+
+
 def calibrate_act_scales(
     folded: FoldedOutputMLP,
     P_e: jnp.ndarray,
@@ -329,28 +366,8 @@ def calibrate_act_scales(
     clip as the dynamic path).  One batch suffices in practice: the relu
     activation ranges of a frozen model are batch-stable (tested vs the
     dynamic path in tests/test_int8_static.py)."""
-    B, d = P_e.shape
-    L = L_e.shape[0]
-    a = jnp.dot(P_e.astype(jnp.bfloat16), folded.w1_p.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    c = (
-        jnp.dot(L_e.astype(jnp.bfloat16), folded.w1_l.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-        + folded.b1.astype(jnp.float32)
-    )
-    num_tiles = min(-(-L // label_tile), max_tiles)
-    maxes = [0.0] * len(folded.hidden)
-    for t in range(num_tiles):
-        c_t = c[t * label_tile : (t + 1) * label_tile]
-        h = jax.nn.relu(a[:, None, :] + c_t[None, :, :]).reshape(
-            B * c_t.shape[0], -1
-        )
-        for i, (W, b) in enumerate(folded.hidden):
-            maxes[i] = max(maxes[i], float(jnp.max(jnp.abs(h))))
-            h = jnp.dot(h.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h + b.astype(jnp.float32))
-    return tuple(m * margin / 127.0 for m in maxes)
+    maxes = np.asarray(act_scale_maxes(folded, P_e, L_e, label_tile, max_tiles))
+    return tuple(float(m) * margin / 127.0 for m in maxes)
 
 
 def pair_logits_tiled_int8(

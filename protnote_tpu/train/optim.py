@@ -23,9 +23,10 @@ def make_optimizer(params_cfg: Dict[str, Any],
     wd = params_cfg.get("WEIGHT_DECAY", 0.0)
     clip = params_cfg.get("CLIP_VALUE")
     accum = params_cfg.get("GRADIENT_ACCUMULATION_STEPS", 1) or 1
-    # OPTIMIZER_MOMENT_DTYPE: "bfloat16" halves Adam's m/v memory (the train
-    # OOM boundary is HBM-bound at full label vocab; bf16 moments are the
-    # standard large-model trade — params/grads/updates stay f32)
+    # OPTIMIZER_MOMENT_DTYPE: "bfloat16" halves Adam's FIRST moment (optax
+    # mu_dtype casts mu only; nu stays f32) — a ~25% optimizer-state saving,
+    # an OOM-boundary lever on the HBM-bound full-vocab train path.
+    # Params/grads/updates stay f32.
     mu_dtype = params_cfg.get("OPTIMIZER_MOMENT_DTYPE")
     mu_dtype = None if not mu_dtype else getattr(jax.numpy, str(mu_dtype))
 

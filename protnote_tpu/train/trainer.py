@@ -408,15 +408,22 @@ class Trainer:
         ):
             self.calibrate_int8(batcher)
 
-    def calibrate_int8(self, batcher) -> tuple:
+    def calibrate_int8(self, batcher, margin: float = 1.05) -> tuple:
         """Calibrate static int8 activation scales on the first batch and
         rebuild the eval step with them (VERDICT r2 weak #3: the dynamic
         per-row quantize round-trip left a measured ~25% of int8 throughput
         on the table).  Returns the scales; they are also recorded in
-        ``self.pn_cfg.int8_act_scales``."""
+        ``self.pn_cfg.int8_act_scales``.
+
+        The whole calibration forward (encoder -> latents -> per-layer max
+        |GEMM input|) runs inside ONE jit: on a multi-host mesh the placed
+        arrays are not fully addressable, and eager reductions over them are
+        forbidden — only the tiny replicated (num_hidden,) max vector is
+        read back."""
         import dataclasses
 
         from protnote_tpu.models import fusion as fusion_mod
+        from protnote_tpu.models.fusion import compute_label_latents
         from protnote_tpu.models.proteinfer import embed_from_ids
 
         if self.pn_cfg.pair_backend != "tiled_int8":
@@ -427,23 +434,37 @@ class Trainer:
         )
         batch = next(iter(batcher))
         arrays = self._place(batch_to_device_dict(batch), batch, label_matrix)
-        enc_params = self.ts["trainable"].get("encoder", self.ts["enc_params"])
-        P_f, _ = embed_from_ids(
-            enc_params, self.ts["enc_state"], arrays["aa_ids"],
-            arrays["lengths"], self.pi_cfg,
-        )
-        pn = self.ts["trainable"]["protnote"]
-        if "label_rows" in arrays:
-            latents = self._label_latents(arrays)
-        else:
-            latents = fusion_mod.compute_label_latents(
-                pn, self.ts["model_state"], arrays["label_embeddings"],
-                self.pn_cfg,
+
+        def _maxes(ts, arrays):
+            enc_params = ts["trainable"].get("encoder", ts["enc_params"])
+            P_f, _ = embed_from_ids(
+                enc_params, ts["enc_state"], arrays["aa_ids"],
+                arrays["lengths"], self.pi_cfg,
             )
-        scales = fusion_mod.calibrate_int8(
-            pn, self.ts["model_state"], P_f, self.pn_cfg,
-            label_latents=latents,
-        )
+            pn = ts["trainable"]["protnote"]
+            if "label_rows" in arrays:
+                L_f = jnp.take(arrays["label_matrix"], arrays["label_rows"],
+                               axis=0)
+                latents = compute_label_latents(
+                    pn, ts["model_state"], L_f, self.pn_cfg
+                )
+                return fusion_mod.calibrate_int8_maxes(
+                    pn, ts["model_state"], P_f, self.pn_cfg,
+                    label_latents=latents,
+                )
+            return fusion_mod.calibrate_int8_maxes(
+                pn, ts["model_state"], P_f, self.pn_cfg,
+                label_embeddings=arrays["label_embeddings"],
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(_maxes, out_shardings=NamedSharding(self.mesh, P()))
+        else:
+            fn = jax.jit(_maxes)
+        maxes = np.asarray(fn(self.ts, arrays))
+        scales = tuple(float(m) * margin / 127.0 for m in maxes)
         self.pn_cfg = dataclasses.replace(self.pn_cfg, int8_act_scales=scales)
         self._eval_step = make_eval_step(
             self.pi_cfg, self.pn_cfg, self.loss_fn, **self._eval_step_kwargs
@@ -457,6 +478,30 @@ class Trainer:
         logger.info("int8 static activation scales: %s",
                     [round(s, 6) for s in scales])
         return scales
+
+    def _invalidate_auto_int8(self) -> None:
+        """Drop AUTO-calibrated int8 activation scales and rebuild the eval
+        steps scale-free; the next ``evaluate`` recalibrates.  The scales are
+        a function of the weights, so training steps AND checkpoint restores
+        invalidate them — a restored earlier-epoch checkpoint scored with
+        scales calibrated for the last epoch's weights is exactly the stale-
+        clip hazard static scales must avoid.  User-supplied scales
+        (INT8_ACT_SCALES) are never touched."""
+        if not (self._int8_scales_auto
+                and self.pn_cfg.int8_act_scales is not None):
+            return
+        import dataclasses
+
+        self.pn_cfg = dataclasses.replace(self.pn_cfg, int8_act_scales=None)
+        self._eval_step = make_eval_step(
+            self.pi_cfg, self.pn_cfg, self.loss_fn, **self._eval_step_kwargs
+        )
+        self._eval_step_raw = make_eval_step(
+            self.pi_cfg, self.pn_cfg, self.loss_fn, jit=False,
+            **self._eval_step_kwargs
+        )
+        self._fused_eval_steps = {}
+        self._int8_scales_auto = False
 
     # ---------------- eval label-latent precompute ----------------
 
@@ -563,7 +608,8 @@ class Trainer:
             # immune by construction, ProtNoteTrainer.py:921-938)
             from jax.experimental import multihost_utils
 
-            local = np.asarray([meta.get("checksum_crc32") or -1], np.int64)
+            crc = meta.get("checksum_crc32")  # NOT `or -1`: a real CRC can be 0
+            local = np.asarray([-1 if crc is None else crc], np.int64)
             sums = np.asarray(multihost_utils.process_allgather(local))
             if not np.all(sums == sums.flat[0]):
                 raise ValueError(
@@ -581,6 +627,9 @@ class Trainer:
         else:
             # restore yields host arrays; commit them to the device once
             self.ts = jax.device_put(self.ts, jax.devices()[0])
+        # restored weights differ from the ones the auto scales were
+        # calibrated on (e.g. the best-epoch reload after training)
+        self._invalidate_auto_int8()
         if from_checkpoint:
             self.starting_epoch = self.epoch = int(meta.get("epoch", 0))
             bvm = meta.get("best_val_metric")
@@ -591,14 +640,7 @@ class Trainer:
 
     def train_one_epoch(self, batcher: BucketBatcher, rng_key) -> Dict[str, float]:
         self._maybe_stride(batcher)
-        if self._int8_scales_auto and self.pn_cfg.int8_act_scales is not None:
-            # auto-calibrated scales are a function of the weights; training
-            # invalidates them, so the next evaluate() recalibrates (a stale
-            # scale clips activations that outgrew the frozen margin)
-            import dataclasses
-
-            self.pn_cfg = dataclasses.replace(
-                self.pn_cfg, int8_act_scales=None)
+        self._invalidate_auto_int8()  # training invalidates weight-derived scales
         num_batches = max(len(batcher), 1)
         log_every = max(int(num_batches * self.cfg.log_every_fraction), 1)
         losses = []
@@ -729,12 +771,17 @@ class Trainer:
         parenthood: Optional[Dict] = None,
         save_embeddings: bool = False,
         threshold_sweep: Optional[np.ndarray] = None,
+        compute_metrics: bool = True,
     ) -> Dict[str, Any]:
         """... ``threshold_sweep``: an array of candidate decision thresholds
         — (T, L) tp/fp/fn counters accumulate on device during the SAME pass
         (no second scoring of the set, VERDICT r2 weak #6) and the best
         threshold by ``decision_th_metric_name`` lands in
-        ``result["threshold"]``."""
+        ``result["threshold"]``.
+
+        ``compute_metrics=False`` skips ALL metric accumulation (no
+        EvalMetrics, no exact-AUPRC shards, no logits readback) — the
+        threshold-sweep-only mode of ``find_optimal_threshold``."""
         self._maybe_stride(batcher)
         self.ensure_int8_calibrated(batcher)
         ds = dataset if dataset is not None else batcher.ds
@@ -780,18 +827,28 @@ class Trainer:
             eff_labels = int(represented.sum())
         else:
             eff_labels = num_labels
-        metrics = EvalMetrics(
-            num_labels=eff_labels,
-            threshold=self.cfg.decision_threshold,
-            map_estimate=self.cfg.estimate_map,
-        )
+        if not compute_metrics and (
+            save_results or save_embeddings or normalize_probabilities
+            or represented is not None
+        ):
+            raise ValueError(
+                "compute_metrics=False is the sweep-only fast path; it "
+                "cannot export results/embeddings or slice labels"
+            )
+        metrics = None
+        if compute_metrics:
+            metrics = EvalMetrics(
+                num_labels=eff_labels,
+                threshold=self.cfg.decision_threshold,
+                map_estimate=self.cfg.estimate_map,
+            )
         # device fast path: accumulate everything on-chip, never read logits
         # back (VERDICT r1 weak #4 — ESTIMATE_MAP was wired to the host
         # updater)
         device_acc = None
         if (
-            self.cfg.estimate_map
-            and self.cfg.decision_threshold is not None
+            compute_metrics
+            and self.cfg.estimate_map
             and not save_results
             and not save_embeddings
             and not normalize_probabilities
@@ -799,8 +856,21 @@ class Trainer:
         ):
             from protnote_tpu.evaln.metrics import DeviceEvalAccumulator
 
+            # decision_threshold may be None (null-DECISION_TH validation):
+            # the accumulator then feeds AP metrics only, matching
+            # EvalMetrics(threshold=None) host semantics
             device_acc = DeviceEvalAccumulator(
                 eff_labels, self.cfg.decision_threshold
+            )
+        if jax.process_count() > 1 and compute_metrics and device_acc is None:
+            # the host path below reads per-batch logits back — impossible
+            # for a globally-sharded multi-process array; fail with the fix
+            # spelled out instead of an opaque addressability error mid-loop
+            raise ValueError(
+                "multi-process evaluation requires the all-on-device metric "
+                "path: set ESTIMATE_MAP=True and disable save_results / "
+                "save_embeddings / normalize_probabilities / "
+                "only_represented_labels"
             )
         sweep_acc = None
         if threshold_sweep is not None:
@@ -810,12 +880,30 @@ class Trainer:
                     "disable label sampling on the batcher"
                 )
             threshold_sweep = np.asarray(threshold_sweep, np.float32)
-            sweep_acc = (
-                jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
-                jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
-                jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
-            )
-            sweep_count = self._sweep_count_fn(jnp.asarray(threshold_sweep))
+            if self.mesh is not None and jax.process_count() > 1:
+                # counters must be GLOBAL arrays: a multi-process jit cannot
+                # mix them with globally-sharded logits otherwise (readback
+                # of the final counts works because they are replicated)
+                from protnote_tpu.parallel.distributed import global_device_put
+                from protnote_tpu.parallel.mesh import replicated
+
+                rep = replicated(self.mesh)
+                sweep_acc = tuple(
+                    global_device_put(
+                        np.zeros((len(threshold_sweep), num_labels), np.int32),
+                        rep,
+                    )
+                    for _ in range(3)
+                )
+            else:
+                sweep_acc = (
+                    jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
+                    jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
+                    jnp.zeros((len(threshold_sweep), num_labels), jnp.int32),
+                )
+            # numpy thresholds become a jit CONSTANT (a committed local
+            # device array could not mix with global arrays multi-process)
+            sweep_count = self._sweep_count_fn(threshold_sweep)
         sweep_updates = 0
         all_logits, all_labels, all_ids = [], [], []
         emb_rows, emb_ids = [], []
@@ -871,6 +959,15 @@ class Trainer:
                     arrays["example_mask"],
                 )
                 sweep_updates += 1
+            if not compute_metrics:
+                # sweep-only: logits never leave the device (the removed
+                # standalone find_optimal_threshold behaved exactly so — a
+                # threshold-only caller must not pay the exact-AUPRC
+                # accumulation the metrics path below would run)
+                if "loss" in out:
+                    losses.append(out["loss"])
+                self.meter.add(self._batch_valid(batch), num_labels)
+                continue
             # periodic sequence-embedding export (reference exports embeddings
             # every 100 eval batches, ProtNoteTrainer.py:551-586)
             if save_embeddings and batch_idx % 100 == 0:
@@ -940,7 +1037,7 @@ class Trainer:
                                    float(scores[best]))
         if device_acc is not None:
             device_acc.finalize_into(metrics)
-        m = metrics.compute()
+        m = metrics.compute() if metrics is not None else {}
         if losses:
             m["loss"] = float(np.mean([float(x) for x in losses]))
             if not np.isfinite(m["loss"]):
@@ -1018,7 +1115,9 @@ class Trainer:
                 "find_optimal_threshold requires full-vocabulary batches; "
                 "disable label sampling on the validation batcher"
             )
-        return self.evaluate(batcher, threshold_sweep=thresholds)["threshold"]
+        return self.evaluate(
+            batcher, threshold_sweep=thresholds, compute_metrics=False
+        )["threshold"]
 
 
 def _log_device_memory() -> None:

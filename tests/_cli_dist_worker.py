@@ -60,5 +60,6 @@ result = {
     "test_f1_micro": metrics["test"]["f1_micro"],
     "test_map_micro": metrics["test"]["map_micro"],
     "epochs": metrics["train_summary"]["epochs"],
+    "decision_threshold": metrics["decision_threshold"]["threshold"],
 }
 print("RESULT " + json.dumps(result), flush=True)

@@ -42,4 +42,5 @@ print("RESULT " + json.dumps({
     "test_loss": metrics["test"]["loss"],
     "test_f1_micro": metrics["test"]["f1_micro"],
     "test_map_micro": metrics["test"]["map_micro"],
+    "decision_threshold": metrics["decision_threshold"]["threshold"],
 }), flush=True)

@@ -12,6 +12,10 @@ OVERRIDES = [
     # metrics must accumulate on device (readback of a non-addressable
     # global logits array is impossible multi-process)
     "ESTIMATE_MAP", "True",
+    # null threshold routes validation through the on-device threshold
+    # sweep — multi-process, its (T, L) counters must be mesh-replicated
+    # global arrays (a local jnp.zeros cannot mix with global logits)
+    "DECISION_TH", "null",
     "SEED", "7",
 ]
 

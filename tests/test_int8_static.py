@@ -264,6 +264,56 @@ def test_training_invalidates_auto_int8_scales(rng):
     assert tr2.pn_cfg.int8_act_scales == first
 
 
+def test_checkpoint_restore_invalidates_auto_int8_scales(rng, tmp_path):
+    """A restored checkpoint carries DIFFERENT weights from the ones the
+    auto scales were calibrated on (e.g. the best-epoch reload after
+    training) — load() must drop them so the next evaluate recalibrates;
+    user-supplied scales survive a restore untouched."""
+    from protnote_tpu.core.checkpoint import save_checkpoint
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
+    from protnote_tpu.train.losses import get_loss_fn
+    from protnote_tpu.train.optim import make_optimizer
+    from protnote_tpu.train.step import init_train_state
+    from protnote_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_device_label_gather import build_dataset
+
+    PI = ProteInferConfig(output_channels=32, kernel_size=5,
+                          num_resnet_blocks=2, num_labels=8)
+    PN = ProtNoteConfig(protein_embedding_dim=32, label_embedding_dim=16,
+                        latent_dim=16, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2,
+                        output_mlp_hidden_dim_scale_factor=2,
+                        label_tile=8, pair_backend="tiled_int8")
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    loss_fn = get_loss_fn({"LOSS_FN": "BCE"})
+    ds = build_dataset(rng)
+    path = str(tmp_path / "ckpt.msgpack")
+
+    tr = Trainer(init_train_state(pn_p, pn_s, pi_p, pi_s, tx),
+                 PI, PN, loss_fn, tx, TrainerConfig())
+    save_checkpoint(path, tr.ts, epoch=0)
+    tr.evaluate(BucketBatcher(ds, 4, buckets=(64,)))
+    assert tr.pn_cfg.int8_act_scales is not None
+    tr.load(path)
+    assert tr.pn_cfg.int8_act_scales is None  # invalidated by the restore
+    tr.evaluate(BucketBatcher(ds, 4, buckets=(64,)))
+    assert tr.pn_cfg.int8_act_scales is not None  # recalibrated
+
+    # user-supplied scales: restore keeps them
+    supplied = tr.pn_cfg.int8_act_scales
+    pi_p2, pi_s2 = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p2, pn_s2 = init_protnote(jax.random.PRNGKey(1), PN)
+    PN_s = dataclasses.replace(PN, int8_act_scales=supplied)
+    tr2 = Trainer(init_train_state(pn_p2, pn_s2, pi_p2, pi_s2, tx),
+                  PI, PN_s, loss_fn, tx, TrainerConfig())
+    tr2.load(path)
+    assert tr2.pn_cfg.int8_act_scales == supplied
+
+
 def test_threshold_sweep_without_multihots_fails_loudly(rng):
     """evaluate(threshold_sweep=...) on a batcher that carries no
     label_multihots must raise, not ship a garbage threshold."""

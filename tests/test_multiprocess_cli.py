@@ -124,6 +124,9 @@ def test_cli_two_process_run(dist_run):
     # both processes observe identical global metrics
     assert results[0]["test_loss"] == results[1]["test_loss"]
     assert results[0]["test_f1_micro"] == results[1]["test_f1_micro"]
+    # the on-device threshold sweep (DECISION_TH=null) agrees across
+    # processes — its (T, L) counters are mesh-replicated global arrays
+    assert results[0]["decision_threshold"] == results[1]["decision_threshold"]
 
 
 def test_cli_writers_gated_to_main_process(dist_run):
@@ -160,3 +163,5 @@ def test_cli_matches_single_process(dist_run):
     assert got["test_loss"] == pytest.approx(ref["test_loss"], abs=2e-4)
     assert got["test_f1_micro"] == pytest.approx(ref["test_f1_micro"], abs=2e-4)
     assert got["test_map_micro"] == pytest.approx(ref["test_map_micro"], abs=2e-3)
+    assert got["decision_threshold"] == pytest.approx(
+        ref["decision_threshold"], abs=1e-6)

@@ -114,6 +114,32 @@ def test_threshold_sweep_folded_into_evaluate(rng, trainer_factory):
         assert th2 == th and score2 == pytest.approx(score, abs=1e-6)
 
 
+def test_sweep_only_mode_skips_metric_accumulation(rng, trainer_factory):
+    """evaluate(compute_metrics=False) is the threshold-only fast path: no
+    exact-AUPRC shard accumulation, no logits readback — the returned
+    metrics dict carries only loss + throughput rates, and the threshold
+    matches the full metrics pass."""
+    ds = build_dataset(rng)
+    ths = np.arange(0.05, 1.0, 0.05, dtype=np.float32)
+    full = trainer_factory().evaluate(
+        BucketBatcher(ds, 4, buckets=(64,)), threshold_sweep=ths
+    )
+    lean = trainer_factory().evaluate(
+        BucketBatcher(ds, 4, buckets=(64,)), threshold_sweep=ths,
+        compute_metrics=False,
+    )
+    assert lean["threshold"] == full["threshold"]
+    assert "f1_micro" not in lean["metrics"]
+    assert "map_micro" not in lean["metrics"]
+    assert np.isfinite(lean["metrics"]["loss"])
+    # exporting anything in sweep-only mode is a hard error
+    with pytest.raises(ValueError, match="sweep-only"):
+        trainer_factory().evaluate(
+            BucketBatcher(ds, 4, buckets=(64,)), threshold_sweep=ths,
+            compute_metrics=False, save_results=True,
+        )
+
+
 def test_label_matrix_cache_lru_eviction(rng, trainer_factory):
     """Trainer._label_matrices holds at most 2 device matrices (train +
     current eval); a third dataset's matrix evicts the least recently used
