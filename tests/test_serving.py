@@ -1,0 +1,263 @@
+"""Production serving stack (protnote_tpu/serving.py + cli/serve.py): the
+engine's latents fast path matches the direct forward, micro-batching
+coalesces concurrent requests correctly, and the stdlib HTTP server answers
+end-to-end.  The reference has no serving surface (its inference entry
+points are batch eval drivers, bin/main.py)."""
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote, protnote_forward
+from protnote_tpu.models.proteinfer import ProteInferConfig, embed_from_ids, init_proteinfer
+from protnote_tpu.serving import MicroBatcher, ServingEngine, make_http_server
+from protnote_tpu.train.optim import make_optimizer
+from protnote_tpu.train.step import init_train_state
+
+AAS = "ACDEFGHIKLMNPQRSTVWY"
+L, K, D = 7, 2, 16
+
+
+def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0):
+    PI = ProteInferConfig(output_channels=24, kernel_size=5,
+                          num_resnet_blocks=1, num_labels=L)
+    PN = ProtNoteConfig(protein_embedding_dim=24, label_embedding_dim=D,
+                        latent_dim=8, projection_head_num_layers=2,
+                        projection_head_hidden_dim_scale_factor=2,
+                        output_mlp_num_layers=2,
+                        output_mlp_hidden_dim_scale_factor=2,
+                        label_tile=4, inference_descriptions_per_label=K,
+                        pair_backend=backend)
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(seed), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(seed + 1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
+    rng = np.random.default_rng(seed)
+    matrix = rng.normal(size=(L * K, D)).astype(np.float32)
+    vocab = [f"GO:{i:07d}" for i in range(L)]
+    return ServingEngine(ts, PI, PN, matrix, vocab, buckets=buckets,
+                         max_batch=max_batch), matrix
+
+
+def _seqs(rng, n, lo=10, hi=50):
+    return ["".join(rng.choice(list(AAS), int(rng.integers(lo, hi))))
+            for _ in range(n)]
+
+
+def test_engine_matches_direct_forward(rng):
+    """The serving path (precomputed latents, bucket padding, batching)
+    reproduces a direct embed+forward on the raw label embeddings."""
+    engine, matrix = _make_engine()
+    seqs = _seqs(rng, 3, lo=10, hi=30)
+    probs = engine.score(seqs)
+    assert probs.shape == (3, L)
+    assert np.all((probs > 0) & (probs < 1))
+
+    # direct reference: same padded shapes, label tower run from embeddings
+    bucket = 32
+    aa = np.full((len(seqs), bucket), engine._pad_id, np.int8)
+    lengths = np.zeros(len(seqs), np.int32)
+    for r, s in enumerate(seqs):
+        ids = engine._encode([s])[0]
+        aa[r, : len(ids)] = ids
+        lengths[r] = len(ids)
+    P_f, _ = embed_from_ids(
+        engine.ts["enc_params"], engine.ts["enc_state"],
+        jnp.asarray(aa), jnp.asarray(lengths), engine.pi_cfg,
+    )
+    logits, _ = protnote_forward(
+        engine.ts["trainable"]["protnote"], engine.ts["model_state"],
+        P_f, jnp.asarray(matrix), engine.pn_cfg, train=False,
+    )
+    want = 1 / (1 + np.exp(-np.asarray(logits, np.float64)))
+    np.testing.assert_allclose(probs, want, atol=2e-5)
+
+
+def test_engine_bucket_order_invariance(rng):
+    """Scores are independent of request order, co-batching, and bucket
+    assignment; overflow sequences truncate to the largest bucket."""
+    engine, _ = _make_engine(max_batch=3)
+    seqs = _seqs(rng, 7, lo=5, hi=60)  # spans both buckets, splits batches
+    probs = engine.score(seqs)
+    perm = rng.permutation(len(seqs))
+    probs_perm = engine.score([seqs[i] for i in perm])
+    np.testing.assert_allclose(probs_perm, probs[perm], atol=1e-6)
+    one_by_one = np.concatenate([engine.score([s]) for s in seqs])
+    np.testing.assert_allclose(one_by_one, probs, atol=1e-6)
+
+    long_seq = "".join(rng.choice(list(AAS), 200))  # > largest bucket (64)
+    np.testing.assert_allclose(
+        engine.score([long_seq]), engine.score([long_seq[:64]]), atol=1e-6
+    )
+
+
+def test_engine_rejects_empty_sequence(rng):
+    engine, _ = _make_engine()
+    with pytest.raises(ValueError, match="empty"):
+        engine.score(["ACDE", ""])
+
+
+def test_top_k_sorted_and_thresholded(rng):
+    engine, _ = _make_engine()
+    seqs = _seqs(rng, 2)
+    probs = engine.score(seqs)
+    top = engine.top_k(seqs, k=3)
+    for row, pairs in zip(probs, top):
+        assert len(pairs) == 3
+        ps = [p for _, p in pairs]
+        assert ps == sorted(ps, reverse=True)
+        assert ps[0] == pytest.approx(float(row.max()), abs=1e-6)
+    # threshold filters
+    thr = float(np.median(probs))
+    top_t = engine.top_k(seqs, k=L, threshold=thr)
+    for row, pairs in zip(probs, top_t):
+        assert len(pairs) == int((row >= thr).sum())
+
+
+def test_int8_backend_lazy_calibration(rng):
+    """PAIR_BACKEND=tiled_int8 without scales: the first scored batch
+    calibrates static activation scales; probabilities stay close to the
+    exact path."""
+    engine8, _ = _make_engine(backend="tiled_int8")
+    engine, _ = _make_engine(backend="auto")
+    assert engine8._needs_calibration
+    seqs = _seqs(rng, 4, lo=10, hi=30)
+    p8 = engine8.score(seqs)
+    assert not engine8._needs_calibration
+    assert engine8.pn_cfg.int8_act_scales is not None
+    assert np.max(np.abs(p8 - engine.score(seqs))) < 3e-2
+
+
+def test_micro_batcher_coalesces_concurrent_requests(rng):
+    engine, _ = _make_engine()
+    mb = MicroBatcher(engine, max_wait_ms=20.0)
+    try:
+        seqs = [_seqs(rng, int(rng.integers(1, 3))) for _ in range(5)]
+        want = [engine.score(s) for s in seqs]
+        got = [None] * len(seqs)
+
+        def run(i):
+            got[i] = mb.submit(seqs[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(seqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-6)
+        # at least one dispatch served more than one request (coalescing):
+        # 5 requests, batches counted per _score_bucket call
+        assert engine.stats.requests == len(seqs)
+    finally:
+        mb.close()
+
+    # errors propagate to the caller without killing the worker
+    mb2 = MicroBatcher(engine, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="empty"):
+            mb2.submit([""])
+        assert mb2.submit(["ACDE"]).shape == (1, L)
+    finally:
+        mb2.close()
+
+
+def test_http_server_end_to_end(rng):
+    engine, _ = _make_engine()
+    server, batcher = make_http_server(engine, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        seqs = _seqs(rng, 3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=json.dumps({"sequences": seqs, "top_k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        preds = body["predictions"]
+        assert len(preds) == 3 and all(len(p) == 2 for p in preds)
+        want = engine.top_k(seqs, k=2)
+        for p, w in zip(preds, want):
+            assert [x[0] for x in p] == [x[0] for x in w]
+            np.testing.assert_allclose([x[1] for x in p], [x[1] for x in w],
+                                       atol=1e-6)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["labels"] == L
+        assert health["requests"] >= 1
+
+        # bad request -> 400 with an error message
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=json.dumps({"sequences": []}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_cli_build_engine(tmp_path, rng):
+    """cli/serve.py builds a working engine from the on-disk config + label
+    cache layout (same contract as cli/predict.py)."""
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.models.label_encoder import HashLabelEncoder
+
+    (tmp_path / "data" / "embeddings").mkdir(parents=True)
+    (tmp_path / "outputs").mkdir()
+    labels = [f"GO:{i:07d}" for i in range(6)]
+    enc = HashLabelEncoder(dim=16)
+    ids, dts, txts = [], [], []
+    for g in labels:
+        for dt in ("name", "label"):
+            ids.append(g), dts.append(dt), txts.append(f"{dt} {g}")
+    emb = enc.embed(txts)
+    LabelEmbeddingCache.save(
+        str(tmp_path / "data" / "embeddings"
+            / "frozen_label_embeddings_E5multilingual_mean.npz"),
+        emb, ids, dts, txts, enc.token_counts(txts),
+    )
+    old = dict(os.environ)
+    os.environ["PROTNOTE_DATA_DIR"] = str(tmp_path / "data")
+    os.environ["PROTNOTE_OUTPUT_DIR"] = str(tmp_path / "outputs")
+    try:
+        from protnote_tpu.cli.serve import build_argparser, build_engine
+
+        args = build_argparser().parse_args([
+            "--max-batch", "4",
+            "--override",
+            "OUTPUT_CHANNELS", "32", "KERNEL_SIZE", "5",
+            "NUM_RESNET_BLOCKS", "1", "PROTEINFER_NUM_GO_LABELS", "6",
+            "LABEL_EMBEDDING_DIM", "16", "LATENT_EMBEDDING_DIM", "8",
+            "PROJECTION_HEAD_NUM_LAYERS", "2", "OUTPUT_MLP_NUM_LAYERS", "2",
+            "OUTPUT_MLP_HIDDEN_DIM_SCALE_FACTOR", "2",
+            "PROJECTION_HEAD_HIDDEN_DIM_SCALE_FACTOR", "2",
+            "MIXED_PRECISION", "False", "SEQUENCE_BUCKETS", "[64]",
+        ])
+        engine = build_engine(args)
+        assert engine.label_vocabulary == labels
+        probs = engine.score(["ACDEFGHIKL", "MNPQRSTVWY"])
+        assert probs.shape == (2, 6)
+        assert np.all(np.isfinite(probs))
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
