@@ -101,10 +101,22 @@ def build_engine(args):
         tr.load(args.model_file)
         ts = tr.ts
 
+    mesh = None
+    mesh_label = args.mesh_label or params.get("MESH_LABEL", 1)
+    if len(jax.devices()) > 1:
+        # pod serving: label axis sharded across all chips (predict.py
+        # layout) unless --mesh-label pins a smaller extent
+        from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        mesh_label = mesh_label if mesh_label > 1 else len(jax.devices())
+        mesh = make_mesh(MeshSpec(dp=1, label=mesh_label))
+        log.info("serving over a label-sharded mesh of %d devices", mesh_label)
+
     return ServingEngine(
         ts, pi_cfg, pn_cfg, label_matrix, vocab,
         buckets=tuple(params.get("SEQUENCE_BUCKETS", (256, 512, 1024, 2048, 4096))),
         max_batch=args.max_batch or params.get("TEST_BATCH_SIZE", 32),
+        mesh=mesh,
     )
 
 
@@ -121,6 +133,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=None)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--mesh-label", type=int, default=None,
+                    help="label-shard the model over this many devices "
+                         "(default: all devices when more than one)")
     ap.add_argument("--warmup", action="store_true",
                     help="compile every bucket shape before accepting traffic")
     return ap

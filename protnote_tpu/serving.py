@@ -80,7 +80,14 @@ class ServingEngine:
         amino_acid_vocabulary: Optional[Sequence[str]] = None,
         buckets: Sequence[int] = (256, 512, 1024, 2048, 4096),
         max_batch: int = 32,
+        mesh=None,
     ):
+        """``mesh``: optional (dp=1, label=N) jax.sharding.Mesh — serve one
+        model over N chips with the label axis sharded (the pod serving
+        layout of cli/predict.py): latents and logits partition by label,
+        parameters and batch rows replicate, and the vocabulary is padded to
+        a label-axis multiple (padded columns are dropped before results
+        leave the engine)."""
         import jax
         import jax.numpy as jnp
 
@@ -109,9 +116,30 @@ class ServingEngine:
         self._pad_id = len(aa_vocab)
         self.buckets = tuple(sorted(int(b) for b in buckets))
         self.max_batch = int(max_batch)
-        self.ts = jax.device_put(ts)
-        self._label_matrix = jnp.asarray(np.asarray(label_matrix))
+        self.mesh = mesh
+        label_matrix = np.asarray(label_matrix)
+        self._num_labels_padded = L
+        if mesh is not None:
+            from protnote_tpu.parallel.mesh import replicated
+
+            n_label = int(mesh.shape["label"])
+            Lp = -(-L // n_label) * n_label
+            if Lp != L:
+                k = self.descriptions_per_label
+                pad = np.zeros(((Lp - L) * k,) + label_matrix.shape[1:],
+                               label_matrix.dtype)
+                label_matrix = np.concatenate(
+                    [label_matrix.reshape(L, k, -1),
+                     pad.reshape(Lp - L, k, -1)]
+                ).reshape(Lp * k, -1)
+            self._num_labels_padded = Lp
+            self.ts = jax.device_put(ts, replicated(mesh))
+            self._label_matrix = jax.device_put(label_matrix, replicated(mesh))
+        else:
+            self.ts = jax.device_put(ts)
+            self._label_matrix = jnp.asarray(label_matrix)
         self.stats = ServingStats()
+        self._calib_lock = threading.Lock()
         self._build_steps()
         self.latents = self._compute_latents()
         if (
@@ -127,9 +155,20 @@ class ServingEngine:
     # ---------------- model plumbing ----------------
 
     def _build_steps(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
         from protnote_tpu.train.step import make_eval_step
 
         self._eval_step = make_eval_step(self.pi_cfg, self.pn_cfg, None)
+        raw = make_eval_step(self.pi_cfg, self.pn_cfg, None, jit=False)
+        # serving readback dtype is f16 (the repo-wide logits export dtype,
+        # results_io.py): halves the device->host transfer per dispatch;
+        # sigmoid runs on host in f32 (probability error <= ~5e-4 at |logit|
+        # <= 8 — far below any decision threshold granularity)
+        self._score_step = jax.jit(
+            lambda ts, arrays: raw(ts, arrays)["logits"].astype(jnp.float16)
+        )
 
     def _compute_latents(self):
         """Project every label-embedding row through W_l once (the per-batch
@@ -139,14 +178,24 @@ class ServingEngine:
 
         from protnote_tpu.models.fusion import compute_label_latents
 
-        @jax.jit
         def f(ts, matrix):
             return compute_label_latents(
                 ts["trainable"]["protnote"], ts["model_state"], matrix,
                 self.pn_cfg,
             )
 
-        return f(self.ts, self._label_matrix)
+        if self.mesh is not None:
+            # latents live sharded over the label axis: each chip scores its
+            # own label shard (logits partition (B, L/label); only the
+            # readback gathers)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(
+                f, out_shardings=NamedSharding(self.mesh, P("label", None))
+            )
+        else:
+            fn = jax.jit(f)
+        return fn(self.ts, self._label_matrix)
 
     def _calibrate_int8(self, aa: np.ndarray, lengths: np.ndarray) -> None:
         """First-batch static activation scales (Trainer.calibrate_int8
@@ -168,7 +217,14 @@ class ServingEngine:
                 self.pn_cfg, label_latents=latents,
             )
 
-        maxes = np.asarray(jax.jit(_maxes)(
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(_maxes,
+                         out_shardings=NamedSharding(self.mesh, P()))
+        else:
+            fn = jax.jit(_maxes)
+        maxes = np.asarray(fn(
             self.ts, self._jnp.asarray(aa), self._jnp.asarray(lengths),
             self.latents,
         ))
@@ -218,9 +274,8 @@ class ServingEngine:
             self.stats.sequences += len(encoded)
         return probs
 
-    def _score_bucket(self, encoded: List[np.ndarray], bucket: int) -> np.ndarray:
-        jnp = self._jnp
-        n = len(encoded)
+    def _assemble(self, encoded: List[np.ndarray], bucket: int):
+        """Pad an encoded chunk into the (max_batch, bucket) static shape."""
         B = self.max_batch  # static batch shape: one compile per bucket
         aa = np.full((B, bucket), self._pad_id, dtype=np.int8)
         lengths = np.ones(B, dtype=np.int32)
@@ -228,24 +283,35 @@ class ServingEngine:
             e = e[:bucket]
             aa[r, : len(e)] = e
             lengths[r] = max(len(e), 1)
+        return aa, lengths
+
+    def _score_bucket(self, encoded: List[np.ndarray], bucket: int) -> np.ndarray:
+        jnp = self._jnp
+        n = len(encoded)
+        B = self.max_batch
+        aa, lengths = self._assemble(encoded, bucket)
         if self._needs_calibration:
-            self._calibrate_int8(aa, lengths)
+            with self._calib_lock:
+                if self._needs_calibration:  # double-check under the lock
+                    self._calibrate_int8(aa, lengths)
         mask = np.zeros(B, dtype=np.float32)
         mask[:n] = 1.0
         t0 = time.perf_counter()
-        out = self._eval_step(self.ts, {
+        logits16 = self._score_step(self.ts, {
             "aa_ids": jnp.asarray(aa),
             "lengths": jnp.asarray(lengths),
             "example_mask": jnp.asarray(mask),
             "label_latents": self.latents,
         })
-        logits = np.asarray(out["logits"][:n])
+        logits = np.asarray(logits16)[:n].astype(np.float32)
+        if logits.shape[1] != len(self.label_vocabulary):
+            logits = logits[:, : len(self.label_vocabulary)]  # mesh padding
         dt = (time.perf_counter() - t0) * 1e3
         with self.stats.lock:
             self.stats.batches += 1
             self.stats.batched_rows += B
             self.stats.total_device_ms += dt
-        return 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
+        return 1.0 / (1.0 + np.exp(-logits))
 
     def top_k(self, sequences: Sequence[str], k: int = 10,
               threshold: Optional[float] = None
@@ -282,19 +348,26 @@ class MicroBatcher:
     """Coalesces concurrent requests into shared device dispatches.
 
     Callers submit a sequence list and block until their scores are ready;
-    a single worker thread drains the queue, packing up to ``max_batch``
-    sequences per dispatch and waiting at most ``max_wait_ms`` for
-    stragglers once the first request of a batch arrived."""
+    ``pipeline_depth`` worker threads drain the queue, each packing up to
+    ``max_batch`` sequences per dispatch and waiting at most ``max_wait_ms``
+    for stragglers once the first request of a batch arrived.  Depth > 1
+    keeps multiple device programs in flight, overlapping one batch's
+    host readback with the next batch's compute — the same double-buffering
+    the data pipeline's PrefetchBatcher applies on the input side."""
 
     def __init__(self, engine: ServingEngine, max_wait_ms: float = 5.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None, pipeline_depth: int = 2):
         self.engine = engine
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_batch = int(max_batch or engine.max_batch)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(max(1, int(pipeline_depth)))
+        ]
+        for w in self._workers:
+            w.start()
 
     def submit(self, sequences: Sequence[str]) -> np.ndarray:
         """Blocking: returns (len(sequences), num_labels) probabilities."""
@@ -308,8 +381,10 @@ class MicroBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._q.put(None)  # wake the worker
-        self._worker.join(timeout=5)
+        for _ in self._workers:
+            self._q.put(None)  # wake every worker
+        for w in self._workers:
+            w.join(timeout=5)
 
     def _run(self) -> None:
         while not self._stop.is_set():
