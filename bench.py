@@ -186,7 +186,8 @@ def main():
         engine.warmup()
 
         # ---- host-side stack overhead (hardware-truthful on any host) ----
-        chunk = [engine._encode([s])[0] for s in seqs[:B]]
+        from protnote_tpu.serving import topk_from_probs
+
         t0 = time.perf_counter()
         reps = 20
         for _ in range(reps):
@@ -197,10 +198,7 @@ def main():
             np.random.default_rng(1).random((B, L)), np.float32)
         t0 = time.perf_counter()
         for _ in range(reps):
-            kk = 10
-            part = np.argpartition(-probs, kk - 1, axis=1)[:, :kk]
-            for row, cols in zip(probs, part):
-                cols[np.argsort(-row[cols])]
+            topk_from_probs(vocab, probs, 10)
         topk_ms = (time.perf_counter() - t0) / reps * 1e3
 
         # ---- e2e through the MicroBatcher (tunnel-bound on this host:
@@ -238,7 +236,10 @@ def main():
                       f" ms/seq); e2e {args.serve_clients}-client rate below "
                       f"is DEV-TUNNEL-BOUND (axon serializes op round trips "
                       f"at seconds each; production bound = device compute, "
-                      f"kernels table)",
+                      f"kernels table); mean batch fill "
+                      f"{stats['mean_batch_fill']:.2f}, device "
+                      f"{stats['total_device_ms']:.0f} ms over "
+                      f"{stats['batches']} dispatches",
             "value": round(thr, 1),
             "unit": "requests/sec",
             "vs_baseline": 0.0,  # the reference has no serving surface

@@ -19,19 +19,11 @@ logger = logging.getLogger(__name__)
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
 
     from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
     from protnote_tpu.data.batching import BucketBatcher
     from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
     from protnote_tpu.data.label_cache import LabelEmbeddingCache
-    from protnote_tpu.models.convert import proteinfer_from_tf_pickle
-    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
-    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
-    from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
-    from protnote_tpu.train.optim import make_optimizer
-    from protnote_tpu.train.step import init_train_state
-    from protnote_tpu.train.trainer import Trainer, TrainerConfig
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--fasta", required=True, help="input sequences (labels optional)")
@@ -86,45 +78,15 @@ def main(argv=None):
     )
     log.info("%d sequences x %d labels", len(ds), ds.num_labels)
 
-    esp = config.get("embed_sequences_params", {})
-    pi_cfg = ProteInferConfig(
-        input_channels=esp.get("INPUT_CHANNELS", 20),
-        output_channels=esp.get("OUTPUT_CHANNELS", 1100),
-        kernel_size=esp.get("KERNEL_SIZE", 9),
-        dilation_base=esp.get("DILATION_BASE", 3),
-        num_resnet_blocks=esp.get("NUM_RESNET_BLOCKS", 5),
-        bottleneck_factor=esp.get("BOTTLENECK_FACTOR", 0.5),
-        num_labels=esp.get("PROTEINFER_NUM_GO_LABELS", 32102),
+    from protnote_tpu.cli._model_setup import (
+        build_inference_model,
+        resolve_label_mesh,
     )
-    pn_cfg = ProtNoteConfig.from_params(
-        params, protein_embedding_dim=pi_cfg.output_channels,
-        label_embedding_dim=cache.dim,
-        inference_descriptions_per_label=len(
-            params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+")
-        ),
-        label_tile=params.get("LABEL_TILE_SIZE", 512),
-        compute_dtype=jnp.bfloat16 if params.get("MIXED_PRECISION", True) else jnp.float32,
+
+    mesh = resolve_label_mesh(args.mesh_label, params, log)
+    pi_cfg, pn_cfg, trainer = build_inference_model(
+        config, params, paths, cache, run_name, args.model_file, mesh, log,
     )
-    pi_weights = paths.get("PROTEINFER_GO_WEIGHTS_PATH")
-    if pi_weights and os.path.exists(pi_weights):
-        pi_params, pi_state = proteinfer_from_tf_pickle(pi_weights, pi_cfg)
-    else:
-        pi_params, pi_state = init_proteinfer(jax.random.PRNGKey(0), pi_cfg)
-    pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
-    tx = make_optimizer(params)
-    ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
-
-    mesh = None
-    mesh_label = args.mesh_label or params.get("MESH_LABEL", 1)
-    if len(jax.devices()) > 1:
-        mesh_label = mesh_label if mesh_label > 1 else len(jax.devices())
-        mesh = make_mesh(MeshSpec(dp=1, label=mesh_label))
-        log.info("label-sharded mesh over %d devices", mesh_label)
-
-    tcfg = TrainerConfig.from_params(params, run_name=run_name)
-    trainer = Trainer(ts, pi_cfg, pn_cfg, loss_fn=None, tx=tx, config=tcfg, mesh=mesh)
-    if args.model_file:
-        trainer.load(args.model_file)
 
     batcher = BucketBatcher(
         ds, args.batch_size or params.get("TEST_BATCH_SIZE", 32),

@@ -23,26 +23,20 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
 
 logger = logging.getLogger(__name__)
 
 
 def build_engine(args):
-    """Config + cache + checkpoint -> ServingEngine (same model plumbing as
-    cli/predict.py, without the dataset/batcher machinery)."""
-    import jax
-    import jax.numpy as jnp
-
+    """Config + cache + checkpoint -> ServingEngine (model plumbing shared
+    with cli/predict.py via cli/_model_setup.py)."""
+    from protnote_tpu.cli._model_setup import (
+        build_inference_model,
+        resolve_label_mesh,
+    )
     from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
     from protnote_tpu.data.label_cache import LabelEmbeddingCache, LabelEmbeddingView
-    from protnote_tpu.models.convert import proteinfer_from_tf_pickle
-    from protnote_tpu.models.fusion import ProtNoteConfig, init_protnote
-    from protnote_tpu.models.proteinfer import ProteInferConfig, init_proteinfer
     from protnote_tpu.serving import ServingEngine
-    from protnote_tpu.train.optim import make_optimizer
-    from protnote_tpu.train.step import init_train_state
-    from protnote_tpu.train.trainer import Trainer, TrainerConfig
 
     config, run_name, log = get_setup(
         config_path=args.config or DEFAULT_CONFIG_PATH,
@@ -62,62 +56,29 @@ def build_engine(args):
         cache, vocab,
         params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+"),
     )
-    rows = view.first_k_rows(k)
-    label_matrix = view.embeddings[rows]
+    label_matrix = view.embeddings[view.first_k_rows(k)]
 
-    esp = config.get("embed_sequences_params", {})
-    pi_cfg = ProteInferConfig(
-        input_channels=esp.get("INPUT_CHANNELS", 20),
-        output_channels=esp.get("OUTPUT_CHANNELS", 1100),
-        kernel_size=esp.get("KERNEL_SIZE", 9),
-        dilation_base=esp.get("DILATION_BASE", 3),
-        num_resnet_blocks=esp.get("NUM_RESNET_BLOCKS", 5),
-        bottleneck_factor=esp.get("BOTTLENECK_FACTOR", 0.5),
-        num_labels=esp.get("PROTEINFER_NUM_GO_LABELS", 32102),
+    mesh = resolve_label_mesh(args.mesh_label, params, log)
+    pi_cfg, pn_cfg, trainer = build_inference_model(
+        config, params, paths, cache, run_name, args.model_file, mesh, log,
     )
-    pn_cfg = ProtNoteConfig.from_params(
-        params, protein_embedding_dim=pi_cfg.output_channels,
-        label_embedding_dim=cache.dim,
-        inference_descriptions_per_label=k,
-        label_tile=params.get("LABEL_TILE_SIZE", 512),
-        compute_dtype=(
-            jnp.bfloat16 if params.get("MIXED_PRECISION", True)
-            else jnp.float32
-        ),
-    )
-    pi_weights = paths.get("PROTEINFER_GO_WEIGHTS_PATH")
-    if pi_weights and os.path.exists(pi_weights):
-        pi_params, pi_state = proteinfer_from_tf_pickle(pi_weights, pi_cfg)
-    else:
-        log.warning("ProteInfer weights unavailable; random init")
-        pi_params, pi_state = init_proteinfer(jax.random.PRNGKey(0), pi_cfg)
-    pn_params, pn_state = init_protnote(jax.random.PRNGKey(1), pn_cfg)
-    tx = make_optimizer(params)
-    ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
-    if args.model_file:
-        # Trainer.load handles template merge + device commit + checksum
-        tr = Trainer(ts, pi_cfg, pn_cfg, loss_fn=None, tx=tx,
-                     config=TrainerConfig.from_params(params, run_name=run_name))
-        tr.load(args.model_file)
-        ts = tr.ts
 
-    mesh = None
-    mesh_label = args.mesh_label or params.get("MESH_LABEL", 1)
-    if len(jax.devices()) > 1:
-        # pod serving: label axis sharded across all chips (predict.py
-        # layout) unless --mesh-label pins a smaller extent
-        from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
-
-        mesh_label = mesh_label if mesh_label > 1 else len(jax.devices())
-        mesh = make_mesh(MeshSpec(dp=1, label=mesh_label))
-        log.info("serving over a label-sharded mesh of %d devices", mesh_label)
-
-    return ServingEngine(
-        ts, pi_cfg, pn_cfg, label_matrix, vocab,
+    engine = ServingEngine(
+        trainer.ts, pi_cfg, trainer.pn_cfg, label_matrix, vocab,
         buckets=tuple(params.get("SEQUENCE_BUCKETS", (256, 512, 1024, 2048, 4096))),
         max_batch=args.max_batch or params.get("TEST_BATCH_SIZE", 32),
         mesh=mesh,
     )
+    if args.calibration_fasta:
+        # int8 scales from REAL sequences (warmup refuses to calibrate on
+        # its synthetic motif; see ServingEngine.calibrate_from)
+        from protnote_tpu.data.fasta import read_fasta
+
+        seqs = [r[0] for r in read_fasta(args.calibration_fasta)]
+        if not seqs:
+            raise ValueError(f"{args.calibration_fasta}: no sequences")
+        engine.calibrate_from(seqs)
+    return engine
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -134,8 +95,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--max-batch", type=int, default=None)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--mesh-label", type=int, default=None,
-                    help="label-shard the model over this many devices "
-                         "(default: all devices when more than one)")
+                    help="label-shard the model over the first N devices "
+                         "(default: all devices when more than one; 1 "
+                         "forces single-device)")
+    ap.add_argument("--calibration-fasta", default=None,
+                    help="real sequences for int8 activation-scale "
+                         "calibration at startup (required for --warmup "
+                         "with PAIR_BACKEND=tiled_int8 and no "
+                         "INT8_ACT_SCALES)")
     ap.add_argument("--warmup", action="store_true",
                     help="compile every bucket shape before accepting traffic")
     return ap

@@ -133,6 +133,11 @@ class ServingEngine:
                      pad.reshape(Lp - L, k, -1)]
                 ).reshape(Lp * k, -1)
             self._num_labels_padded = Lp
+        # inference never reads the optimizer state: a full train-state
+        # bundle would pin Adam mu/nu (~2 extra copies of the trainables)
+        # on every serving chip and re-upload them with each dispatch
+        ts = {k: v for k, v in ts.items() if k not in ("opt_state", "step")}
+        if mesh is not None:
             self.ts = jax.device_put(ts, replicated(mesh))
             self._label_matrix = jax.device_put(label_matrix, replicated(mesh))
         else:
@@ -160,7 +165,6 @@ class ServingEngine:
 
         from protnote_tpu.train.step import make_eval_step
 
-        self._eval_step = make_eval_step(self.pi_cfg, self.pn_cfg, None)
         raw = make_eval_step(self.pi_cfg, self.pn_cfg, None, jit=False)
         # serving readback dtype is f16 (the repo-wide logits export dtype,
         # results_io.py): halves the device->host transfer per dispatch;
@@ -318,23 +322,39 @@ class ServingEngine:
               ) -> List[List[Tuple[str, float]]]:
         """Per sequence: the k highest-probability (go_id, prob) pairs,
         optionally filtered to probs >= threshold."""
-        probs = self.score(sequences)
-        k = min(int(k), probs.shape[1])
-        part = np.argpartition(-probs, k - 1, axis=1)[:, :k]
-        results = []
-        for row, cols in zip(probs, part):
-            cols = cols[np.argsort(-row[cols])]
-            pairs = [
-                (self.label_vocabulary[c], float(row[c]))
-                for c in cols
-                if threshold is None or row[c] >= threshold
-            ]
-            results.append(pairs)
-        return results
+        return topk_from_probs(self.label_vocabulary, self.score(sequences),
+                               k, threshold)
+
+    def calibrate_from(self, sequences: Sequence[str]) -> None:
+        """Calibrate static int8 activation scales from REAL sequences (the
+        serving analogue of Trainer.calibrate_int8's first-batch semantics).
+        Call before :meth:`warmup` when serving int8 without supplied
+        scales — warmup alone refuses to calibrate (its synthetic
+        repeated-motif sequence is not a representative activation
+        sample)."""
+        encoded = self._encode(sequences[: self.max_batch])
+        bucket = self._bucket_of(max(len(e) for e in encoded))
+        aa, lengths = self._assemble(encoded, bucket)
+        with self._calib_lock:
+            if self._needs_calibration:
+                self._calibrate_int8(aa, lengths)
 
     def warmup(self) -> None:
         """Compile every (bucket) shape up front so the first real request
-        does not pay XLA compilation."""
+        does not pay XLA compilation.
+
+        With a lazily-calibrated int8 backend the warmup is SKIPPED unless
+        scales exist: scoring the synthetic warmup sequence would otherwise
+        permanently freeze activation scales measured on one repeated motif
+        plus padding — call :meth:`calibrate_from` with real sequences
+        first (cli.serve --calibration-fasta)."""
+        if self._needs_calibration:
+            logger.warning(
+                "int8 scales not calibrated: skipping warmup (the synthetic "
+                "warmup batch must not set them); pass real sequences via "
+                "calibrate_from / --calibration-fasta to warm up int8"
+            )
+            return
         aas = "ACDEFGHIKLMNPQRSTVWY"
         for bucket in self.buckets:
             self._score_bucket(
@@ -342,6 +362,24 @@ class ServingEngine:
             )
         logger.info("serving warmup complete (%d bucket shapes)",
                     len(self.buckets))
+
+
+def topk_from_probs(vocabulary: Sequence[str], probs: np.ndarray, k: int,
+                    threshold: Optional[float] = None
+                    ) -> List[List[Tuple[str, float]]]:
+    """Shared top-k: sorted (label, prob) pairs per row, optional threshold
+    filter (used by ServingEngine.top_k, the HTTP handler, and bench.py)."""
+    k = max(1, min(int(k), probs.shape[1]))
+    part = np.argpartition(-probs, k - 1, axis=1)[:, :k]
+    results = []
+    for row, cols in zip(probs, part):
+        cols = cols[np.argsort(-row[cols])]
+        results.append([
+            (vocabulary[c], float(row[c]))
+            for c in cols
+            if threshold is None or row[c] >= threshold
+        ])
+    return results
 
 
 class MicroBatcher:
@@ -370,10 +408,19 @@ class MicroBatcher:
             w.start()
 
     def submit(self, sequences: Sequence[str]) -> np.ndarray:
-        """Blocking: returns (len(sequences), num_labels) probabilities."""
+        """Blocking: returns (len(sequences), num_labels) probabilities.
+
+        Malformed input raises HERE, in the caller's thread — a bad request
+        must not poison the co-batched requests of other callers (the
+        worker's defensive error broadcast would fail the whole coalesced
+        batch)."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        sequences = list(sequences)
+        self.engine._encode(sequences)  # validates; raises to this caller only
         done = threading.Event()
         slot: Dict[str, Any] = {}
-        self._q.put((list(sequences), done, slot))
+        self._q.put((sequences, done, slot))
         done.wait()
         if "error" in slot:
             raise slot["error"]
@@ -385,6 +432,16 @@ class MicroBatcher:
             self._q.put(None)  # wake every worker
         for w in self._workers:
             w.join(timeout=5)
+        # a submit racing close() may have enqueued after the sentinels;
+        # fail those callers instead of stranding them on done.wait()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[2]["error"] = RuntimeError("MicroBatcher closed")
+                item[1].set()
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -470,16 +527,13 @@ def make_http_server(engine: ServingEngine, port: int = 8000,
                 k = int(req.get("top_k", 10))
                 threshold = req.get("threshold")
                 probs = batcher.submit(seqs)
-                kk = min(k, probs.shape[1])
-                part = np.argpartition(-probs, kk - 1, axis=1)[:, :kk]
-                preds = []
-                for row, cols in zip(probs, part):
-                    cols = cols[np.argsort(-row[cols])]
-                    preds.append([
-                        [engine.label_vocabulary[c], float(row[c])]
-                        for c in cols
-                        if threshold is None or row[c] >= float(threshold)
-                    ])
+                preds = [
+                    [[g, p] for g, p in pairs]
+                    for pairs in topk_from_probs(
+                        engine.label_vocabulary, probs, k,
+                        None if threshold is None else float(threshold),
+                    )
+                ]
                 self._send(200, {"predictions": preds})
             except ValueError as e:
                 self._send(400, {"error": str(e)})

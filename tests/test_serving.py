@@ -171,6 +171,79 @@ def test_micro_batcher_coalesces_concurrent_requests(rng):
         assert mb2.submit(["ACDE"]).shape == (1, L)
     finally:
         mb2.close()
+    # closed batcher rejects instead of hanging
+    with pytest.raises(RuntimeError, match="closed"):
+        mb2.submit(["ACDE"])
+
+
+def test_micro_batcher_bad_request_does_not_poison_cobatch(rng):
+    """A malformed request fails in ITS caller's thread (validated before
+    enqueue) — a concurrently co-batched valid request must succeed."""
+    engine, _ = _make_engine()
+    mb = MicroBatcher(engine, max_wait_ms=50.0)
+    try:
+        good_seqs = _seqs(rng, 2)
+        want = engine.score(good_seqs)
+        results = {}
+
+        def good():
+            results["good"] = mb.submit(good_seqs)
+
+        def bad():
+            try:
+                mb.submit(["ACDE", ""])
+            except ValueError as e:
+                results["bad"] = e
+
+        tg, tb = threading.Thread(target=good), threading.Thread(target=bad)
+        tg.start(); tb.start()
+        tg.join(timeout=30); tb.join(timeout=30)
+        assert isinstance(results["bad"], ValueError)
+        np.testing.assert_allclose(results["good"], want, atol=1e-6)
+    finally:
+        mb.close()
+
+
+def test_warmup_refuses_synthetic_int8_calibration(rng):
+    """warmup() must NOT freeze int8 scales from its synthetic motif;
+    calibrate_from(real sequences) unblocks it."""
+    engine8, _ = _make_engine(backend="tiled_int8")
+    assert engine8._needs_calibration
+    engine8.warmup()  # skipped with a warning
+    assert engine8._needs_calibration
+    assert engine8.pn_cfg.int8_act_scales is None
+    real = _seqs(rng, 4, lo=10, hi=30)
+    engine8.calibrate_from(real)
+    assert not engine8._needs_calibration
+    engine8.warmup()  # now compiles every bucket
+    probs = engine8.score(real)
+    assert probs.shape == (4, L)
+
+
+def test_engine_drops_optimizer_state(rng):
+    """Serving never reads the optimizer state: it must not be pinned on
+    the serving devices (Adam mu/nu ~ 2 extra copies of the trainables)."""
+    engine, _ = _make_engine()
+    assert "opt_state" not in engine.ts
+    assert "step" not in engine.ts
+
+
+def test_resolve_label_mesh_extents(rng):
+    """--mesh-label N uses the FIRST N devices (previously any N < device
+    count crashed MeshSpec.resolve); 1 forces single-device."""
+    import logging
+
+    from protnote_tpu.cli._model_setup import resolve_label_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    log = logging.getLogger("test")
+    mesh = resolve_label_mesh(4, {}, log)
+    assert mesh is not None and int(mesh.shape["label"]) == 4
+    assert resolve_label_mesh(1, {"MESH_LABEL": 8}, log) is None  # explicit 1 wins
+    assert int(resolve_label_mesh(None, {}, log).shape["label"]) == 8  # default: all
+    with pytest.raises(ValueError, match="attached devices"):
+        resolve_label_mesh(99, {}, log)
 
 
 def test_http_server_end_to_end(rng):
