@@ -78,7 +78,7 @@ def build_engine(args):
         if not seqs:
             raise ValueError(f"{args.calibration_fasta}: no sequences")
         engine.calibrate_from(seqs)
-    return engine
+    return engine, trainer
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -113,11 +113,20 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
-    engine = build_engine(args)
+    engine, trainer = build_engine(args)
     if args.warmup:
         engine.warmup()
+
+    def reload_fn(path: str) -> None:
+        # checksum-verified restore into the trainer's template, then an
+        # atomic (ts, latents) swap — in-flight requests finish on the old
+        # weights
+        trainer.load(path)
+        engine.reload(trainer.ts)
+
     server, batcher = make_http_server(
-        engine, port=args.port, host=args.host, max_wait_ms=args.max_wait_ms
+        engine, port=args.port, host=args.host, max_wait_ms=args.max_wait_ms,
+        reload_fn=reload_fn,
     )
     logger.info("serving %d labels on http://%s:%d (backend=%s)",
                 len(engine.label_vocabulary), args.host, args.port,

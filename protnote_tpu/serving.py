@@ -143,8 +143,16 @@ class ServingEngine:
         else:
             self.ts = jax.device_put(ts)
             self._label_matrix = jnp.asarray(label_matrix)
+        if jax.process_count() > 1:
+            raise ValueError(
+                "ServingEngine is single-controller: run one server per "
+                "process/slice (multi-process readback of globally-sharded "
+                "logits is not addressable)"
+            )
         self.stats = ServingStats()
         self._calib_lock = threading.Lock()
+        self._model_lock = threading.Lock()  # atomic (ts, latents) hot swap
+        self._int8_scales_supplied = pn_cfg.int8_act_scales is not None
         self._build_steps()
         self.latents = self._compute_latents()
         if (
@@ -300,12 +308,14 @@ class ServingEngine:
                     self._calibrate_int8(aa, lengths)
         mask = np.zeros(B, dtype=np.float32)
         mask[:n] = 1.0
+        with self._model_lock:  # pair (ts, latents) must be from ONE model
+            ts, latents = self.ts, self.latents
         t0 = time.perf_counter()
-        logits16 = self._score_step(self.ts, {
+        logits16 = self._score_step(ts, {
             "aa_ids": jnp.asarray(aa),
             "lengths": jnp.asarray(lengths),
             "example_mask": jnp.asarray(mask),
-            "label_latents": self.latents,
+            "label_latents": latents,
         })
         logits = np.asarray(logits16)[:n].astype(np.float32)
         if logits.shape[1] != len(self.label_vocabulary):
@@ -324,6 +334,47 @@ class ServingEngine:
         optionally filtered to probs >= threshold."""
         return topk_from_probs(self.label_vocabulary, self.score(sequences),
                                k, threshold)
+
+    def reload(self, ts: Dict[str, Any]) -> None:
+        """Hot-swap the model weights without dropping traffic.
+
+        Recomputes the label latents for the new weights and swaps
+        ``(ts, latents)`` atomically — in-flight requests finish on the old
+        model, later requests see only the new one.  Auto-calibrated int8
+        scales are invalidated (they are a function of the weights; the
+        next scored real batch recalibrates), user-supplied INT8_ACT_SCALES
+        survive."""
+        import dataclasses
+
+        jax = self._jax
+        ts = {k: v for k, v in ts.items() if k not in ("opt_state", "step")}
+        if self.mesh is not None:
+            from protnote_tpu.parallel.mesh import replicated
+
+            ts = jax.device_put(ts, replicated(self.mesh))
+        else:
+            ts = jax.device_put(ts)
+        if (
+            self.pn_cfg.pair_backend == "tiled_int8"
+            and not self._int8_scales_supplied
+            and self.pn_cfg.int8_act_scales is not None
+        ):
+            with self._calib_lock:
+                self.pn_cfg = dataclasses.replace(
+                    self.pn_cfg, int8_act_scales=None)
+                self._build_steps()
+                self._needs_calibration = True
+        old_ts = self.ts
+        # latents for the NEW weights, computed before the swap
+        with self._model_lock:
+            self.ts = ts
+            try:
+                latents = self._compute_latents()
+            except Exception:
+                self.ts = old_ts  # roll back; old model keeps serving
+                raise
+            self.latents = latents
+        logger.info("model hot-reloaded")
 
     def calibrate_from(self, sequences: Sequence[str]) -> None:
         """Calibrate static int8 activation scales from REAL sequences (the
@@ -481,14 +532,18 @@ class MicroBatcher:
 
 def make_http_server(engine: ServingEngine, port: int = 8000,
                      host: str = "127.0.0.1",
-                     max_wait_ms: float = 5.0):
+                     max_wait_ms: float = 5.0,
+                     reload_fn=None):
     """Stdlib HTTP front end.  Returns (server, batcher); call
     ``server.serve_forever()`` (blocking) or drive it from a thread.
 
     POST /v1/predict  {"sequences": ["MKV..."], "top_k": 10,
                        "threshold": 0.5?}
         -> {"predictions": [[["GO:0005524", 0.93], ...], ...]}
+    POST /v1/reload   {"model_file": "path.ckpt"} (only when ``reload_fn``
+        is provided — cli.serve wires Trainer.load + engine.reload)
     GET  /healthz     -> {"status": "ok", "labels": N, ...stats}
+    GET  /metrics     -> Prometheus text exposition of the same counters
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -511,10 +566,57 @@ def make_http_server(engine: ServingEngine, port: int = 8000,
                     "backend": engine.pn_cfg.pair_backend,
                     **engine.stats.snapshot(),
                 })
+            elif self.path == "/metrics":
+                s = engine.stats.snapshot()
+                fill = s["mean_batch_fill"]
+                lines = [
+                    "# TYPE protnote_requests_total counter",
+                    f"protnote_requests_total {s['requests']}",
+                    "# TYPE protnote_sequences_total counter",
+                    f"protnote_sequences_total {s['sequences']}",
+                    "# TYPE protnote_batches_total counter",
+                    f"protnote_batches_total {s['batches']}",
+                    "# TYPE protnote_device_seconds_total counter",
+                    f"protnote_device_seconds_total "
+                    f"{s['total_device_ms'] / 1e3:.3f}",
+                    "# TYPE protnote_batch_fill_mean gauge",
+                    f"protnote_batch_fill_mean "
+                    f"{0.0 if fill is None else fill:.4f}",
+                    "# TYPE protnote_labels gauge",
+                    f"protnote_labels {len(engine.label_vocabulary)}",
+                    "",
+                ]
+                blob = "\n".join(lines).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            if self.path == "/v1/reload":
+                if reload_fn is None:
+                    self._send(404, {"error": "reload not wired on this "
+                                              "server (no reload_fn)"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    path = req.get("model_file")
+                    if not path or not isinstance(path, str):
+                        raise ValueError('body needs a "model_file" path')
+                    reload_fn(path)
+                    self._send(200, {"status": "reloaded",
+                                     "model_file": path})
+                except (ValueError, FileNotFoundError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:
+                    logger.exception("reload failed")
+                    self._send(500, {"error": str(e)})
+                return
             if self.path != "/v1/predict":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return

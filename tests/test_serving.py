@@ -26,7 +26,8 @@ AAS = "ACDEFGHIKLMNPQRSTVWY"
 L, K, D = 7, 2, 16
 
 
-def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0):
+def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0,
+                 matrix_seed=None):
     PI = ProteInferConfig(output_channels=24, kernel_size=5,
                           num_resnet_blocks=1, num_labels=L)
     PN = ProtNoteConfig(protein_embedding_dim=24, label_embedding_dim=D,
@@ -40,7 +41,7 @@ def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0):
     pn_p, pn_s = init_protnote(jax.random.PRNGKey(seed + 1), PN)
     tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
     ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed if matrix_seed is None else matrix_seed)
     matrix = rng.normal(size=(L * K, D)).astype(np.float32)
     vocab = [f"GO:{i:07d}" for i in range(L)]
     return ServingEngine(ts, PI, PN, matrix, vocab, buckets=buckets,
@@ -228,6 +229,79 @@ def test_engine_drops_optimizer_state(rng):
     assert "step" not in engine.ts
 
 
+def test_hot_reload_swaps_weights(rng):
+    """engine.reload(new ts): scores change to the new model's, atomically;
+    a failed reload rolls back to the old weights."""
+    engine, _ = _make_engine(seed=0)
+    # different weights, SAME label matrix (reload swaps weights only)
+    other, _ = _make_engine(seed=7, matrix_seed=0)
+    seqs = _seqs(rng, 3)
+    before = engine.score(seqs)
+    want_after = other.score(seqs)
+
+    engine.reload(other.ts)
+    after = engine.score(seqs)
+    np.testing.assert_allclose(after, want_after, atol=1e-6)
+    assert np.max(np.abs(after - before)) > 1e-4  # genuinely different
+
+
+def test_http_metrics_and_reload_endpoints(rng, tmp_path):
+    engine, _ = _make_engine(seed=0)
+    other, _ = _make_engine(seed=9, matrix_seed=0)
+    reloaded = []
+
+    def reload_fn(path):
+        # emulate cli.serve's reload_fn without a Trainer: restore is
+        # covered elsewhere; here the wiring + atomic swap is the subject
+        if not path.endswith(".ckpt"):
+            raise FileNotFoundError(path)
+        engine.reload(other.ts)
+        reloaded.append(path)
+
+    server, batcher = make_http_server(engine, port=0, reload_fn=reload_fn)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        seqs = _seqs(rng, 2)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=json.dumps({"sequences": seqs, "top_k": 2}).encode(),
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            text = r.read().decode()
+        assert "protnote_requests_total 1" in text
+        assert f"protnote_labels {L}" in text
+        assert "protnote_device_seconds_total" in text
+
+        rl = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/reload",
+            data=json.dumps({"model_file": "new.ckpt"}).encode(),
+        )
+        with urllib.request.urlopen(rl, timeout=30) as r:
+            assert json.loads(r.read())["status"] == "reloaded"
+        assert reloaded == ["new.ckpt"]
+        # post-reload predictions come from the new weights
+        probs = batcher.submit(seqs)
+        np.testing.assert_allclose(probs, other.score(seqs), atol=1e-6)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/reload",
+            data=json.dumps({"model_file": "missing.nope"}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
+        t.join(timeout=10)
+
+
 def test_resolve_label_mesh_extents(rng):
     """--mesh-label N uses the FIRST N devices (previously any N < device
     count crashed MeshSpec.resolve); 1 forces single-device."""
@@ -361,7 +435,7 @@ def test_serve_cli_build_engine(tmp_path, rng):
             "PROJECTION_HEAD_HIDDEN_DIM_SCALE_FACTOR", "2",
             "MIXED_PRECISION", "False", "SEQUENCE_BUCKETS", "[64]",
         ])
-        engine = build_engine(args)
+        engine, trainer = build_engine(args)
         assert engine.label_vocabulary == labels
         probs = engine.score(["ACDEFGHIKL", "MNPQRSTVWY"])
         assert probs.shape == (2, 6)
