@@ -68,15 +68,15 @@ class AsyncCheckpointer:
         self._queue.put((path, host_tree, meta, dedup_tag))
 
     def _worker(self) -> None:
-        from flax import serialization
-
         while True:
             item = self._queue.get()
-            if item is None:
-                self._queue.task_done()
-                return
-            path, host_tree, meta, tag = item
-            try:
+            try:  # NOTHING outside this try: an escaped exception would kill
+                #   the thread and deadlock wait() on queue.join semantics
+                if item is None:
+                    return
+                from flax import serialization
+
+                path, host_tree, meta, tag = item
                 if (
                     tag is not None
                     and self._last_blob is not None
@@ -87,6 +87,15 @@ class AsyncCheckpointer:
                     blob = serialization.to_bytes(host_tree)
                     if tag is not None:
                         self._last_blob = (tag, blob)
+                # same integrity fields as the sync writer
+                # (core/checkpoint.py): without them every trainer-written
+                # checkpoint would silently skip the restore-time CRC check
+                # and the multi-host desync assertion
+                import zlib
+
+                meta = dict(meta)
+                meta["checksum_crc32"] = zlib.crc32(blob)
+                meta["blob_bytes"] = len(blob)
                 meta_blob = json.dumps(meta).encode()
                 os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
                 fd, tmp = tempfile.mkstemp(
@@ -103,14 +112,31 @@ class AsyncCheckpointer:
                     if os.path.exists(tmp):
                         os.unlink(tmp)
             except BaseException as e:  # surfaced on wait()
-                logger.exception("async checkpoint write failed for %s", path)
+                logger.exception("async checkpoint write failed")
                 self._errors.append(e)
             finally:
                 self._queue.task_done()
+                if self._queue.unfinished_tasks == 0:
+                    # bound steady-state RAM: the dedup blob only helps
+                    # same-tag saves already enqueued together; keeping it
+                    # after the queue drains pins a full serialized
+                    # checkpoint for the rest of the process
+                    self._last_blob = None
 
     def wait(self) -> None:
-        """Block until all queued writes are on disk; re-raise any failure."""
-        self._queue.join()
+        """Block until all queued writes are on disk; re-raise any failure.
+
+        Polls instead of queue.join(): a dead worker thread (should be
+        impossible — its loop body is fully guarded — but belt-and-braces)
+        must raise here, not hang the trainer forever."""
+        import time
+
+        while self._queue.unfinished_tasks:
+            if not self._thread.is_alive():
+                raise RuntimeError(
+                    "checkpoint writer thread died with writes pending"
+                )
+            time.sleep(0.02)
         if self._errors:
             raise self._errors.pop(0)
 

@@ -205,14 +205,26 @@ def build_dataset_from_swissprot(
     - ``annotations_names`` (id -> name) drops labels without a known name.
     Returns the number of sequences written.
     """
+    def _required_ids(path, what):
+        # a missing reference split must FAIL, not resolve to an empty id
+        # set: 'proteinfer_test' would then write 0 sequences, and 'new'
+        # would keep the entire training set in the zero-shot benchmark
+        if not path:
+            raise ValueError(
+                f"sequence_vocabulary={sequence_vocabulary!r} needs {what}"
+            )
+        return _fasta_ids(path)
+
     seq_filter: Optional[Set[str]] = None
     negate = False
     if sequence_vocabulary == "proteinfer_train":
-        seq_filter = _fasta_ids(proteinfer_train_fasta) | _fasta_ids(proteinfer_val_fasta)
+        seq_filter = _required_ids(
+            proteinfer_train_fasta, "proteinfer_train_fasta"
+        ) | _required_ids(proteinfer_val_fasta, "proteinfer_val_fasta")
     elif sequence_vocabulary == "proteinfer_test":
-        seq_filter = _fasta_ids(proteinfer_test_fasta)
+        seq_filter = _required_ids(proteinfer_test_fasta, "proteinfer_test_fasta")
     elif sequence_vocabulary == "new":
-        seq_filter = _fasta_ids(proteinfer_full_fasta)
+        seq_filter = _required_ids(proteinfer_full_fasta, "proteinfer_full_fasta")
         negate = True
     elif sequence_vocabulary != "all":
         raise ValueError(f"unknown sequence_vocabulary {sequence_vocabulary!r}")

@@ -69,7 +69,7 @@ class DatasetConfig:
         aug = params.get("LABEL_AUGMENTATION_DESCRIPTIONS", "name+label")
         inf = params.get("INFERENCE_GO_DESCRIPTIONS", "name+label")
         aug_t = tuple(aug.split("+")) if isinstance(aug, str) else tuple(aug or ())
-        inf_t = tuple(inf.split("+")) if isinstance(inf, str) else tuple(inf)
+        inf_t = tuple(inf.split("+")) if isinstance(inf, str) else tuple(inf or ())
         return cls(
             dataset_type=role,
             deduplicate=params.get("DEDUPLICATE", True),

@@ -68,8 +68,11 @@ class LabelEmbeddingCache:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
+        # np.savez appends .npz when absent: return/derive everything from
+        # the path ACTUALLY written, or load(returned_path) would miss
+        path = path if path.endswith(".npz") else path + ".npz"
         np.savez(
-            path if path.endswith(".npz") else path + ".npz",
+            path,
             embeddings=embeddings,
             ids=ids_a,
             description_types=dt_a,

@@ -74,11 +74,13 @@ def metrics_by_go_ontology(logits_df, labels_df,
 def filter_by_ec_level_1(level_1_label: str, df, ec_class_descriptions: Dict):
     if level_1_label == "All":
         return df
-    keep = [
-        ec_class_descriptions[(ec_number_to_code(c.replace("EC:", ""))[0], 0, 0)]["label"]
-        == level_1_label
-        for c in df.columns
-    ]
+    keep = []
+    for c in df.columns:
+        code = (ec_number_to_code(c.replace("EC:", ""))[0], 0, 0)
+        entry = ec_class_descriptions.get(code)
+        # a class absent from enzclass (e.g. translocases vs a pre-2018
+        # file) matches no level-1 slice rather than raising KeyError
+        keep.append(entry is not None and entry["label"] == level_1_label)
     return df.iloc[:, keep]
 
 

@@ -44,7 +44,9 @@ def pool_hidden_states(
 ) -> np.ndarray:
     mask = attention_mask.astype(np.float32)
     raw_len = mask.sum(axis=1, keepdims=True)
-    length = raw_len - (1.0 if account_for_sos else 0.0)
+    # degenerate rows (mask sum <= 1 with SOS accounting) yield zeros, not
+    # 0/0 = nan — kept in lockstep with pool_hidden_states_jnp
+    length = np.maximum(raw_len - (1.0 if account_for_sos else 0.0), 1.0)
     if method == "mean":
         adj = mask.copy()
         if account_for_sos:
@@ -52,7 +54,7 @@ def pool_hidden_states(
         summed = (last_hidden * adj[..., None]).sum(axis=1)
         return summed / length
     if method == "last_token":
-        idx = (raw_len[:, 0] - 1).astype(np.int64)
+        idx = np.maximum(raw_len[:, 0] - 1, 0).astype(np.int64)
         return last_hidden[np.arange(last_hidden.shape[0]), idx]
     if method == "all":
         return last_hidden

@@ -51,6 +51,9 @@ class TextEncoderConfig:
     pad_token_id: int = 1
     layer_norm_eps: float = 1e-5
     scale_embedding: bool = False  # BioGPT: sqrt(hidden)
+    # "fairseq": RoBERTa/XLM-R position ids (pad offset + mask cumsum);
+    # "absolute": plain BERT (arange from 0, mask-independent)
+    position_style: str = "fairseq"
     dtype: Any = jnp.float32
 
     @property
@@ -207,8 +210,15 @@ def text_encoder_forward(
     x = we[input_ids].astype(cfg.dtype)
 
     if cfg.arch == "bert":
-        # fairseq position ids: padding positions keep pad_token_id
-        pos_ids = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
+        if cfg.position_style == "fairseq":
+            # RoBERTa/XLM-R: padding positions keep pad_token_id
+            pos_ids = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
+        else:
+            # plain BERT: absolute positions from 0, mask-independent
+            pos_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[1], dtype=jnp.int32),
+                input_ids.shape,
+            )
         x = x + params["position_embeddings"][pos_ids].astype(cfg.dtype)
         x = x + params["token_type_embeddings"][0].astype(cfg.dtype)
         x = _layer_norm(params["embeddings_ln"], x, cfg.layer_norm_eps)
@@ -231,13 +241,15 @@ def text_encoder_forward(
             # post-LN (BERT/XLM-R)
             a = _attention(lp, x, attn_bias, cfg, lora_entry, lora_scaling)
             x = _layer_norm(lp["attn_ln"], x + a, cfg.layer_norm_eps)
-            f = linear(lp["fc2"], jax.nn.gelu(linear(lp["fc1"], x), approximate=False))
-            if lora_entry is not None:
-                h1 = jax.nn.gelu(
-                    linear(lp["fc1"], x) + _lora_delta(lora_entry["fc1"], x, lora_scaling),
-                    approximate=False,
-                )
-                f = linear(lp["fc2"], h1) + _lora_delta(lora_entry["fc2"], h1, lora_scaling)
+            # per-target guards: attention-only LoRA (targets=("q","v"))
+            # carries no fc1/fc2 entries
+            h1pre = linear(lp["fc1"], x)
+            if lora_entry is not None and "fc1" in lora_entry:
+                h1pre = h1pre + _lora_delta(lora_entry["fc1"], x, lora_scaling)
+            h1 = jax.nn.gelu(h1pre, approximate=False)
+            f = linear(lp["fc2"], h1)
+            if lora_entry is not None and "fc2" in lora_entry:
+                f = f + _lora_delta(lora_entry["fc2"], h1, lora_scaling)
             x = _layer_norm(lp["ffn_ln"], x + f, cfg.layer_norm_eps)
         else:
             # pre-LN (BioGPT)
@@ -245,11 +257,11 @@ def text_encoder_forward(
             x = x + _attention(lp, h, attn_bias, cfg, lora_entry, lora_scaling)
             h = _layer_norm(lp["ffn_ln"], x, cfg.layer_norm_eps)
             h1 = linear(lp["fc1"], h)
-            if lora_entry is not None:
+            if lora_entry is not None and "fc1" in lora_entry:
                 h1 = h1 + _lora_delta(lora_entry["fc1"], h, lora_scaling)
             h1 = jax.nn.gelu(h1, approximate=False)
             f = linear(lp["fc2"], h1)
-            if lora_entry is not None:
+            if lora_entry is not None and "fc2" in lora_entry:
                 f = f + _lora_delta(lora_entry["fc2"], h1, lora_scaling)
             x = x + f
 
@@ -269,9 +281,12 @@ def pool_hidden_states_jnp(last_hidden: jnp.ndarray, attention_mask: jnp.ndarray
         if account_for_sos:
             adj = adj.at[:, 0].set(0.0)
         summed = (last_hidden.astype(jnp.float32) * adj[..., None]).sum(axis=1)
-        return summed / (raw_len - (1.0 if account_for_sos else 0.0))
+        denom = raw_len - (1.0 if account_for_sos else 0.0)
+        # a degenerate row (mask sum <= 1 with SOS accounting) must yield
+        # zeros, not 0/0 = nan propagating into every logit of that label
+        return summed / jnp.maximum(denom, 1.0)
     if method == "last_token":
-        idx = (raw_len[:, 0] - 1).astype(jnp.int32)
+        idx = jnp.maximum(raw_len[:, 0] - 1, 0).astype(jnp.int32)
         return last_hidden[jnp.arange(last_hidden.shape[0]), idx].astype(jnp.float32)
     if method == "all":
         return last_hidden
@@ -386,6 +401,10 @@ def config_from_hf(hf_config) -> TextEncoderConfig:
     if mt in ("xlm-roberta", "roberta", "bert"):
         return TextEncoderConfig(
             arch="bert",
+            # plain BERT uses absolute arange positions; RoBERTa-family uses
+            # fairseq pad-offset ids — mixing them shifts every position
+            # embedding by one row and silently diverges from transformers
+            position_style="absolute" if mt == "bert" else "fairseq",
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,
             num_layers=hf_config.num_hidden_layers,

@@ -105,3 +105,33 @@ def test_checkpoint_checksum_detects_corruption(tmp_path):
     open(path, "wb").write(bytes(corrupted))
     with pytest.raises(ValueError, match="checksum mismatch"):
         restore_checkpoint(path, ts)
+
+
+def test_async_checkpoints_carry_checksum(tmp_path):
+    """The async writer must record the same integrity fields as the sync
+    writer — without them every trainer-written checkpoint silently skips
+    the restore-time CRC check and the multi-host desync assertion."""
+    import numpy as np
+
+    from protnote_tpu.core.async_checkpoint import AsyncCheckpointer
+    from protnote_tpu.core.checkpoint import restore_checkpoint
+
+    ts = {"trainable": {"w": np.arange(16, dtype=np.float32)}}
+    path = str(tmp_path / "a.ckpt")
+    ck = AsyncCheckpointer()
+    ck.save(path, ts, epoch=1)
+    ck.wait()
+    restored, meta = restore_checkpoint(path, ts)
+    assert meta.get("checksum_crc32") is not None
+    assert meta.get("blob_bytes", 0) > 0
+    np.testing.assert_array_equal(restored["trainable"]["w"],
+                                  ts["trainable"]["w"])
+
+    # truncation of an async-written checkpoint fails loudly too
+    import pytest
+
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:-4])
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        restore_checkpoint(path, ts)
+    ck.close()

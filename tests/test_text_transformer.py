@@ -133,3 +133,64 @@ def test_trainable_mask_last_n(bert_pair):
     )
     assert jax.tree_util.tree_reduce(lambda a, b: a and b, m["layers"][1], True)
     assert not m["word_embeddings"]
+
+
+def test_attention_only_lora_targets(bert_pair, rng):
+    """targets=("q","v") (classic attention-only LoRA) must run: the FFN
+    branches previously indexed lora_entry["fc1"] unguarded -> KeyError."""
+    _, cfg, params = bert_pair
+    lora = init_lora(jax.random.PRNGKey(0), cfg, rank=2, last_n_layers=1,
+                     targets=("q", "v"))
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size - 5, (2, 8)).astype(np.int32))
+    attn = jnp.asarray(np.ones((2, 8), np.int32))
+    out = text_encoder_forward(params, ids, attn, cfg, lora=lora)
+    base = text_encoder_forward(params, ids, attn, cfg)
+    # B matrices init to zero -> adapted forward equals the base forward
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+def test_mean_pooling_degenerate_mask_is_finite(rng):
+    """A row whose attention mask covers only the SOS token must pool to
+    zeros, not 0/0 = nan propagating into the label tower."""
+    from protnote_tpu.models.label_encoder import pool_hidden_states
+
+    h = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0], [1, 0, 0, 0]], np.int32)
+    out_np = pool_hidden_states(h, mask, "mean")
+    out_j = np.asarray(pool_hidden_states_jnp(
+        jnp.asarray(h), jnp.asarray(mask), "mean"))
+    assert np.all(np.isfinite(out_np)) and np.all(np.isfinite(out_j))
+    np.testing.assert_allclose(out_np, out_j, atol=1e-5)
+    np.testing.assert_allclose(out_np[1], 0.0, atol=1e-6)
+
+
+def test_plain_bert_absolute_positions_match_transformers(rng):
+    """model_type 'bert' uses absolute arange positions (fairseq pad-offset
+    ids would shift every position embedding by one row) — golden vs
+    transformers.BertModel on identical weights."""
+    from transformers import BertConfig, BertModel
+
+    hf_cfg = BertConfig(
+        vocab_size=90, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=24, type_vocab_size=2, pad_token_id=0,
+    )
+    torch.manual_seed(1)
+    model = BertModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.position_style == "absolute"
+    params = from_hf_state_dict(model.state_dict(), cfg)
+
+    ids = rng.integers(3, 90, (2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+    ids[1, 6:] = 0
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor(ids),
+                     attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    got = np.asarray(text_encoder_forward(
+        params, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)), cfg,
+    ))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=2e-4)
