@@ -73,7 +73,15 @@ class BlastTopHits:
 
         cols = ["qseqid", "sseqid", "pident", "length", "mismatch", "gapopen",
                 "qstart", "qend", "sstart", "send", "evalue", "bitscore"]
-        df = pd.read_csv(self.results_path, sep="\t", names=cols)
+        try:
+            # ids stay strings: type inference would parse numeric FASTA ids
+            # as int64 and every db_labels/transferred lookup would miss
+            df = pd.read_csv(self.results_path, sep="\t", names=cols,
+                             dtype={"qseqid": str, "sseqid": str})
+        except pd.errors.EmptyDataError:
+            # no subject above threshold: queries keep all -15 pseudo-logits
+            # (the documented contract), not a crash
+            df = pd.DataFrame(columns=cols)
         df = df.sort_values("bitscore", ascending=False)
         return df.drop_duplicates(subset="qseqid", keep="first")
 

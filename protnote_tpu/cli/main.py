@@ -102,6 +102,10 @@ def run(args) -> Dict:
         test_paths_names=args.test_paths_names,
         annotations_path_name=args.annotations_path_name,
         base_label_embedding_name=args.base_label_embedding_name,
+        # full log handlers on rank 0 only — every process writing the same
+        # {run_name}.log on shared storage interleaves (the run name is
+        # broadcast-synchronized across processes)
+        is_master=jax.process_index() == 0,
     )
     params = config["params"]
     if args.seed is not None:
@@ -118,8 +122,17 @@ def run(args) -> Dict:
     vocabularies = None
     if vocab_source:
         vocab_path = config["paths_resolved"].get(vocab_source)
-        if vocab_path and os.path.exists(vocab_path):
-            vocabularies = generate_vocabularies(file_path=vocab_path)
+        if not vocab_path or not os.path.exists(vocab_path):
+            # fail like the reference (datasets.py:99-103 opens the file):
+            # a silent per-dataset-vocab fallback skews amino-acid ids and
+            # label column order between splits
+            raise FileNotFoundError(
+                f"EXTRACT_VOCABULARIES_FROM={vocab_source!r} -> "
+                f"{vocab_path!r} does not exist; set the path or override "
+                f"EXTRACT_VOCABULARIES_FROM null to derive per-dataset "
+                f"vocabularies deliberately"
+            )
+        vocabularies = generate_vocabularies(file_path=vocab_path)
 
     # ---------------- datasets ----------------
     datasets: Dict[str, List[ProteinDataset]] = {}
@@ -176,14 +189,19 @@ def run(args) -> Dict:
 
     # ---------------- loss / optimizer / trainer ----------------
     train_ds = datasets.get("train", [None])[0]
-    label_weights = None
-    if train_ds is not None and params.get("LOSS_FN") in ("WeightedBCE", "CBLoss"):
+    label_weights = label_counts = None
+    if train_ds is not None and params.get("LOSS_FN") == "WeightedBCE":
         label_weights = jnp.asarray(
             train_ds.calculate_label_weights(power=params.get("INV_FREQUENCY_POWER", 0.5))
         )
+    if train_ds is not None and params.get("LOSS_FN") == "CBLoss":
+        # CBLoss takes RAW per-label sample counts (reference
+        # bin/main.py:480-489: inv_freq=False, normalize=False) — feeding
+        # it inverse-frequency weights inverts the class balancing
+        label_counts = jnp.asarray(train_ds.calculate_label_counts())
     bce_pos_weight = params.get("BCE_POS_WEIGHT")
     loss_fn = get_loss_fn(params, label_weights=label_weights,
-                          label_counts=label_weights, bce_pos_weight=bce_pos_weight)
+                          label_counts=label_counts, bce_pos_weight=bce_pos_weight)
 
     # ---------------- trainable label tower (LABEL_ENCODER_NUM_TRAINABLE_LAYERS,
     # reference models.py:11-50 + ProtNote.py:197-215) ----------------
@@ -292,7 +310,16 @@ def run(args) -> Dict:
             trainer.ts["trainable"]["protnote"] = p2
             trainer.ts["model_state"] = s2
             if enc is not None:
-                trainer.ts["enc_params"], trainer.ts["enc_state"] = enc
+                enc_p, enc_s = enc
+                if "encoder" in trainer.ts["trainable"]:
+                    # TRAIN_SEQUENCE_ENCODER=True: the live encoder slot is
+                    # trainable["encoder"] (step.py reads trainable first);
+                    # writing enc_params there would silently pair random
+                    # encoder weights with the checkpoint's BN statistics
+                    trainer.ts["trainable"]["encoder"] = enc_p
+                else:
+                    trainer.ts["enc_params"] = enc_p
+                trainer.ts["enc_state"] = enc_s
         else:
             trainer.load(args.model_file, from_checkpoint=args.from_checkpoint)
 

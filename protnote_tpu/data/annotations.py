@@ -31,6 +31,16 @@ SYNONYM_KEYS = {
 }
 
 
+def _obo_unescape(text: str) -> str:
+    """Resolve OBO 1.2 escape sequences inside quoted strings."""
+    return (
+        text.replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\\\", "\\")
+    )
+
+
 def remove_obsolete_from_string(text: str) -> str:
     """Strip a leading 'OBSOLETE.' marker from a description (reference
     bin/generate_label_embeddings.py strips the token before embedding)."""
@@ -80,11 +90,17 @@ def parse_obo(path: str) -> Dict[str, Dict]:
             elif key == "def":
                 m = _DEF_RE.match(line)
                 if m:
-                    current["label"] = m.group(1)
+                    # OBO quoted strings escape embedded quotes/backslashes
+                    # (\" and \\, present in real go.obo releases); obonet —
+                    # the reference's parser — unescapes them, so keeping
+                    # the raw backslash would change those labels' text and
+                    # therefore their embeddings
+                    current["label"] = _obo_unescape(m.group(1))
             elif key == "synonym":
                 m = _SYNONYM_RE.match(line)
                 if m:
-                    current[SYNONYM_KEYS[m.group(2)]].append(m.group(1))
+                    current[SYNONYM_KEYS[m.group(2)]].append(
+                        _obo_unescape(m.group(1)))
             elif key == "is_a":
                 parent = value.split("!")[0].strip()
                 if parent:

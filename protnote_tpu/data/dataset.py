@@ -206,6 +206,16 @@ class ProteinDataset:
 
     # ---------------- weighting (reference datasets.py:452-532) ----------------
 
+    def calculate_label_counts(self) -> np.ndarray:
+        """Raw per-label sample counts in vocabulary order (zeros for
+        labels never seen here) — the CBLoss input (reference
+        calculate_label_weights with inv_freq=False, normalize=False,
+        bin/main.py:480-489)."""
+        counts = np.zeros(self.num_labels, dtype=np.float32)
+        for ids in self.label_id_lists:
+            counts[ids] += 1
+        return counts
+
     def calculate_label_weights(self, power: float = 0.5) -> np.ndarray:
         """Inverse-frequency label weights ((total/count)^power, mean-1
         normalised over represented labels; reference calculate_label_weights,

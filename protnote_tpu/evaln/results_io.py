@@ -30,14 +30,19 @@ def save_evaluation_results(
     if logits.dtype == np.float16:
         logits = logits.astype(np.float32)
     if len(label_vocabulary) != logits.shape[-1]:
-        cols = [str(i) for i in range(logits.shape[-1])]
-    else:
-        cols = list(label_vocabulary)
+        # numeric fallback columns would silently break every downstream
+        # GO-term join (cli/calculate_supervised_metrics.py, analysis)
+        raise ValueError(
+            f"label vocabulary ({len(label_vocabulary)}) does not match the "
+            f"logit width ({logits.shape[-1]}); pass the vocabulary that "
+            f"produced these columns"
+        )
+    cols = list(label_vocabulary)
 
     seq_ids = list(results["sequence_ids"])
     ext = "h5" if save_as_h5 else "parquet"
 
-    if "labels" in results and len(label_vocabulary) == logits.shape[-1]:
+    if "labels" in results:
         labels = np.asarray(results["labels"])
         labels_df = pd.DataFrame(labels, columns=cols, index=seq_ids)
         labels_path = os.path.join(

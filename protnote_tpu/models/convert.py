@@ -291,6 +291,12 @@ def protnote_from_torch_state_dict(sd: Dict, cfg: ProtNoteConfig,
             )
         for dst, g in zip(params[head]["layers"], linears):
             _assign_linear(dst, g)
+        if len(bns) != len(params[head]["bns"]):
+            # an unchecked zip would silently keep random-init BN params
+            raise ValueError(
+                f"{head}: {len(bns)} batchnorms in checkpoint vs "
+                f"{len(params[head]['bns'])} expected"
+            )
         for dst_p, dst_s, g in zip(params[head]["bns"], state[head]["bns"], bns):
             _assign_bn(dst_p, dst_s, g)
 
@@ -307,6 +313,11 @@ def protnote_from_torch_state_dict(sd: Dict, cfg: ProtNoteConfig,
             _assign_linear(dst, g)
         _assign_linear(om_p["out"], linears[-1])
         if om_s is not None:
+            if len(bns) != len(om_p["bns"]):
+                raise ValueError(
+                    f"output_layer: {len(bns)} batchnorms in checkpoint vs "
+                    f"{len(om_p['bns'])} expected"
+                )
             for dst_p, dst_s, g in zip(om_p["bns"], om_s["bns"], bns):
                 _assign_bn(dst_p, dst_s, g)
 

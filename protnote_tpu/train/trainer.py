@@ -925,6 +925,13 @@ class Trainer:
             self._label_matrix_for(batcher.ds)
             if getattr(batcher, "device_label_gather", False) else None
         )
+        dag_normalizer = None
+        if normalize_probabilities and parenthood is not None:
+            # one CSR child-table build per evaluation, not per batch (the
+            # pure-Python construction over 32k labels dominates otherwise)
+            from protnote_tpu.evaln.go_dag import DagNormalizer
+
+            dag_normalizer = DagNormalizer(ds.label_vocabulary, parenthood)
         latents = None
         latents_ok = self._latents_eligible(batcher)
         for batch_idx, batch in enumerate(batcher):
@@ -992,12 +999,8 @@ class Trainer:
                 labels = labels[:, batch.label_mask]
             ids = [s for s, k in zip(batch.sequence_ids, keep) if k]
 
-            if normalize_probabilities and parenthood is not None:
-                from protnote_tpu.evaln.go_dag import normalize_confidences
-
-                probs = normalize_confidences(
-                    _sigmoid(logits), ds.label_vocabulary, parenthood
-                )
+            if dag_normalizer is not None:
+                probs = dag_normalizer(_sigmoid(logits))
             else:
                 probs = _sigmoid(logits)
             full_labels = labels  # exported labels keep the full vocabulary

@@ -143,3 +143,22 @@ def test_strided_assembly_tiles_into_full(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not divisible"):
         b.set_row_shard((0, 1, 3))
+
+
+def test_calculate_label_counts_raw(rng):
+    """CBLoss input: RAW per-label sample counts in vocab order (the
+    inverse-frequency weights previously wired in inverted the class
+    balancing; reference bin/main.py:480-489 passes inv_freq=False)."""
+    from tests.test_device_label_gather import build_dataset
+
+    ds = build_dataset(rng)
+    counts = ds.calculate_label_counts()
+    assert counts.shape == (ds.num_labels,)
+    want = np.zeros(ds.num_labels)
+    for ids in ds.label_id_lists:
+        want[ids] += 1
+    np.testing.assert_array_equal(counts, want)
+    assert counts.max() > 1  # non-degenerate fixture
+    # and distinct from the inverse-frequency weights
+    w = ds.calculate_label_weights()
+    assert not np.allclose(counts / counts.mean(), w)

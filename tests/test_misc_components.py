@@ -253,3 +253,44 @@ def test_config_roundtrip(tmp_path, monkeypatch):
     assert config["params"]["NUM_EPOCHS"] == 3
     assert config["dataset_paths"]["test"][0].startswith(str(tmp_path / "d"))
     assert "LABEL_EMBEDDING_PATH" in config
+
+
+def test_blast_empty_results_and_numeric_ids(tmp_path):
+    """Empty blastp output -> all -15 pseudo-logits (the documented
+    contract, not an EmptyDataError); numeric FASTA ids stay strings through
+    the TSV parse so label transfer still matches."""
+    from protnote_tpu.baselines.blast import PSEUDO_LOGIT, BlastTopHits
+    from protnote_tpu.data.fasta import save_to_fasta
+
+    save_to_fasta([("ACDEF", "123", ["GO:1"]), ("GHIKL", "456", ["GO:2"])],
+                  str(tmp_path / "db.fasta"))
+    save_to_fasta([("ACDEF", "123", []), ("MNPQR", "789", [])],
+                  str(tmp_path / "q.fasta"))
+    bt = BlastTopHits(str(tmp_path / "db.fasta"), str(tmp_path / "q.fasta"),
+                      work_dir=str(tmp_path))
+
+    # empty results file (blastp found nothing)
+    open(bt.results_path, "w").close()
+    logits, qids = bt.pseudo_logits(["GO:1", "GO:2"])
+    assert qids == ["123", "789"]
+    np.testing.assert_array_equal(logits, -PSEUDO_LOGIT)
+
+    # numeric ids in outfmt-6: transfer must hit the str-keyed label dict
+    with open(bt.results_path, "w") as fh:
+        fh.write("123\t456\t100.0\t5\t0\t0\t1\t5\t1\t5\t1e-30\t50.0\n")
+    logits, qids = bt.pseudo_logits(["GO:1", "GO:2"])
+    assert logits[0, 1] == PSEUDO_LOGIT  # GO:2 transferred from db seq 456
+    assert logits[0, 0] == -PSEUDO_LOGIT
+    np.testing.assert_array_equal(logits[1], -PSEUDO_LOGIT)
+
+
+def test_results_io_rejects_vocab_width_mismatch(tmp_path):
+    """A vocab/logit width mismatch must raise — numeric fallback columns
+    silently broke every downstream GO-term join."""
+    from protnote_tpu.evaln.results_io import save_evaluation_results
+
+    with pytest.raises(ValueError, match="does not match"):
+        save_evaluation_results(
+            {"logits": np.zeros((2, 3), np.float32), "sequence_ids": ["a", "b"]},
+            ["GO:1", "GO:2"], "r", str(tmp_path), "test",
+        )
