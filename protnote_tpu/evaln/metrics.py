@@ -688,7 +688,14 @@ class DeviceEvalAccumulator:
             pos = state["hist"][:half].reshape(self.num_labels, nb)
             neg = state["hist"][half:].reshape(self.num_labels, nb)
             ap_l, npos_l = _ap(pos, neg)
-            micro, npos_all = _ap(jnp.sum(pos, axis=0), jnp.sum(neg, axis=0))
+            # label-axis sums in f32, NOT int32: a micro bin aggregates up
+            # to N*L elements (1.66e9 at the 51k x 32k test set, 77% of the
+            # int32 range) and would wrap negative on larger evals; f32's
+            # ~1e-7 relative error is immaterial to AP
+            micro, npos_all = _ap(
+                jnp.sum(pos.astype(jnp.float32), axis=0),
+                jnp.sum(neg.astype(jnp.float32), axis=0),
+            )
             valid = npos_l > 0
             macro = jnp.sum(jnp.where(valid, ap_l, 0.0)) / jnp.maximum(
                 jnp.sum(valid), 1)

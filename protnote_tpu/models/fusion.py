@@ -13,7 +13,6 @@ reproduced exactly.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -32,7 +31,6 @@ from protnote_tpu.ops.pair_scorer import (
     BN_EPS,
     BN_MOMENTUM,
     fold_output_mlp,
-    output_mlp_apply,
     pair_logits_dense,
     pair_logits_tiled,
     similarity_logits,
@@ -383,7 +381,6 @@ def protnote_forward(
     of the step.
     """
     new_state = dict(state)
-    rngs = {}
     if rng is not None:
         rng_noise, rng_p, rng_l, rng_o = jax.random.split(rng, 4)
     else:
@@ -429,6 +426,10 @@ def protnote_forward(
         if (
             train
             and cfg.train_label_tile > 0
+            # "dense" forces the materialised path even when a streaming
+            # tile is configured (parity/debug runs) — same contract as the
+            # decomposed branch below
+            and cfg.pair_backend != "dense"
             and cfg.feature_fusion in ("concatenation", "concatenation_diff")
             and cfg.dropout == 0.0
             and om_state is not None

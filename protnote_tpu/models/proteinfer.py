@@ -176,7 +176,10 @@ def proteinfer_embed(
         new_blocks_state.append({"bn1": bn1_s, "bn2": bn2_s})
 
     feats = feats * mask.astype(feats.dtype)
-    pooled = jnp.sum(feats.astype(jnp.float32), axis=1) / lengths[:, None].astype(jnp.float32)
+    # clamp: a zero-length row would mean 0/0 = NaN, which then poisons the
+    # projection head's masked BatchNorm statistics for the whole batch
+    denom = jnp.maximum(lengths[:, None].astype(jnp.float32), 1.0)
+    pooled = jnp.sum(feats.astype(jnp.float32), axis=1) / denom
     return pooled, {"blocks": new_blocks_state}
 
 

@@ -152,6 +152,8 @@ def make_train_step(
                 label_embeddings, pn_cfg, train=True, rng=rng,
                 example_mask=batch["example_mask"],
                 label_mask=batch.get("label_mask"),
+                # pooling 'all' (additive attention) needs the token mask
+                label_attention_mask=batch.get("label_attention_mask"),
             )
             loss = loss_fn(logits, batch["label_multihots"], mask=mask)
             return loss, (logits, model_state, enc_state)
@@ -256,6 +258,7 @@ def make_eval_step(
         logits, _ = protnote_forward(
             ts["trainable"]["protnote"], ts["model_state"], P_f,
             label_embeddings, pn_cfg, train=False,
+            label_attention_mask=batch.get("label_attention_mask"),
         )
         out = {"logits": logits.astype(jnp.float32)}
         if loss_fn is not None and batch.get("label_multihots") is not None:

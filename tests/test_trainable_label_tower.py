@@ -138,3 +138,30 @@ def test_eval_with_text_tower_matches_precomputed(towers, rng):
     out2 = ev_pre(ts, batch2)
     np.testing.assert_allclose(np.asarray(out1["logits"]), np.asarray(out2["logits"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pooling_all_runs_through_steps(towers, rng):
+    """LABEL_EMBEDDING_POOLING_METHOD='all' (additive attention over token
+    states): both jitted steps must forward label_attention_mask to
+    protnote_forward — previously they dropped it and the 'all' branch
+    raised ValueError on the first step."""
+    import dataclasses
+
+    (pi_p, pi_s), _, text = towers
+    PN_all = dataclasses.replace(PN, label_embedding_pooling_method="all")
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(4), PN_all)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx, text_params=text)
+    loss_fn = get_loss_fn({"LOSS_FN": "BCE"})
+    batch = make_batch(rng)
+
+    step = make_train_step(PI, PN_all, loss_fn, tx, text_cfg=TEXT,
+                           pooling_method="all", donate=False)
+    ts2, m = step(ts, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+    ev = make_eval_step(PI, PN_all, loss_fn, text_cfg=TEXT,
+                        pooling_method="all")
+    out = ev(ts2, batch)
+    assert out["logits"].shape == (B, L)
+    assert np.all(np.isfinite(np.asarray(out["logits"])))
