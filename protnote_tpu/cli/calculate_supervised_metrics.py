@@ -49,6 +49,14 @@ def main(argv=None):
         files.extend(sorted(glob.glob(pattern)) or [pattern])
     for path in files:
         logits_df = load_logits(path)
+        missing = labels_df.index.difference(logits_df.index)
+        if len(missing):
+            # reindex would silently fill NaN rows -> NaN mAP mistaken for
+            # a real model score
+            raise ValueError(
+                f"{path}: {len(missing)} labeled sequences have no logits "
+                f"(e.g. {list(missing[:3])}); logits/labels splits disagree"
+            )
         logits_df = logits_df.reindex(labels_df.index)[labels_df.columns]
         res = metrics_by_go_ontology(logits_df, labels_df, parenthood, args.threshold)
         for ontology, metrics in res.items():

@@ -109,10 +109,14 @@ def main(argv=None):
             "cache will be named after fallback encoder %r", encoder.checkpoint
         )
         params["LABEL_ENCODER_CHECKPOINT"] = encoder.checkpoint
-    token_counts = encoder.token_counts(texts)
     embed_texts = (
         [E5_INSTRUCTION + t for t in texts] if args.add_instruction else texts
     )
+    # counts must describe the tokenization that PRODUCED the embeddings —
+    # with --add-instruction that includes the instruction prefix (a
+    # consumer reconstructing masks/lengths from token_counts would
+    # otherwise mis-mask every description)
+    token_counts = encoder.token_counts(embed_texts)
     embeddings = encoder.embed(
         embed_texts, batch_size=args.batch_size,
         account_for_sos=not args.no_account_for_sos,

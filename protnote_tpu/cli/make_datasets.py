@@ -70,10 +70,16 @@ def main(argv=None):
             parenthood = json.load(fh)
         old_ids = new_ids = None
         names = None
-        if args.old_annotations and args.new_annotations:
+        # each annotation table loads independently: label-vocabulary
+        # 'proteinfer' needs only --old-annotations (an AND gate previously
+        # rejected that valid combination)
+        if args.old_annotations:
             import pandas as pd
 
             old_ids = set(pd.read_pickle(args.old_annotations).index)
+        if args.new_annotations:
+            import pandas as pd
+
             new_df = pd.read_pickle(args.new_annotations)
             new_ids = set(new_df.index)
             names = new_df["name"].to_dict()

@@ -70,5 +70,10 @@ def load_logits(path: str):
     import pandas as pd
 
     if path.endswith(".h5"):
-        return pd.read_hdf(path, key="logits_df")
+        # h5 artifacts carry a role-specific key (logits_df / labels_df,
+        # see save_evaluation_results); try both so labels files load too
+        try:
+            return pd.read_hdf(path, key="logits_df")
+        except KeyError:
+            return pd.read_hdf(path, key="labels_df")
     return pd.read_parquet(path)

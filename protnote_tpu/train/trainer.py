@@ -287,6 +287,9 @@ class Trainer:
         view = getattr(ds, "label_view", None)
         if view is None:
             return None
+        # the cache entry PINS the view: keyed by id() alone, a collected
+        # view's recycled address could silently serve the previous
+        # dataset's embedding matrix to a new dataset
         key = id(view)
         if key not in self._label_matrices:
             m = np.ascontiguousarray(view.embeddings, dtype=np.float32)
@@ -297,7 +300,7 @@ class Trainer:
                 arr = global_device_put(m, replicated(self.mesh))
             else:
                 arr = jnp.asarray(m)
-            self._label_matrices[key] = arr
+            self._label_matrices[key] = (view, arr)
         else:
             self._label_matrices[key] = self._label_matrices.pop(key)  # LRU touch
         # LRU cap at 2 (train + current eval set): a multi-test-set session
@@ -306,7 +309,7 @@ class Trainer:
         # weak #5); dropping the reference frees the device buffer
         while len(self._label_matrices) > 2:
             self._label_matrices.pop(next(iter(self._label_matrices)))
-        return self._label_matrices[key]
+        return self._label_matrices[key][1]
 
     def _place(self, arrays: Dict[str, Any], batch: Optional[Batch] = None,
                label_matrix: Optional[Any] = None) -> Dict[str, Any]:
@@ -395,6 +398,16 @@ class Trainer:
         if batch.global_valid_count is not None:
             return int(batch.global_valid_count)
         return int(batch.example_mask.sum())
+
+    @staticmethod
+    def _batch_label_width(batch: Batch, num_labels: int) -> int:
+        """Label columns actually scored by THIS batch — a grid tile or
+        sampled subset scores far fewer than the full vocabulary, and
+        counting ds.num_labels per yielded batch overstated pairs/sec by
+        the tile count."""
+        if batch.label_indices is not None:
+            return int(len(batch.label_indices))
+        return num_labels
 
     def ensure_int8_calibrated(self, batcher) -> None:
         """Auto-calibrate static int8 activation scales once (first batch)
@@ -631,7 +644,12 @@ class Trainer:
         # calibrated on (e.g. the best-epoch reload after training)
         self._invalidate_auto_int8()
         if from_checkpoint:
-            self.starting_epoch = self.epoch = int(meta.get("epoch", 0))
+            # checkpoints record the epoch that COMPLETED before the write;
+            # resuming must continue at the next one (restarting at the
+            # saved epoch re-applied optimizer updates over the identical
+            # batch schedule a second time, and resuming a finished run
+            # from last_epoch silently retrained its final epoch)
+            self.starting_epoch = self.epoch = int(meta.get("epoch", 0)) + 1
             bvm = meta.get("best_val_metric")
             if bvm is not None:
                 self.best_val_metric = bvm
@@ -668,7 +686,8 @@ class Trainer:
                     )
             losses.append(metrics["loss"])
             confusion.update(metrics, batch.label_indices)
-            self.meter.add(self._batch_valid(batch), num_labels)
+            self.meter.add(self._batch_valid(batch),
+                           self._batch_label_width(batch, num_labels))
             if (i + 1) % log_every == 0:
                 rates = self.meter.rates()
                 logger.info(
@@ -814,6 +833,12 @@ class Trainer:
                 "label-subsampled evaluation cannot export full-vocabulary "
                 "prediction results; disable label sampling or save_results"
             )
+        if (fixed_subset or varying_subset) and normalize_probabilities:
+            raise ValueError(
+                "label-subsampled evaluation cannot apply GO-DAG "
+                "probability normalization (the child-index table spans the "
+                "full vocabulary); disable label sampling or normalization"
+            )
         if varying_subset and not self.cfg.estimate_map:
             raise ValueError(
                 "per-batch-varying label subsets (shuffled/in-batch/grid "
@@ -957,7 +982,8 @@ class Trainer:
                         arrays["example_mask"],
                     )
                     sweep_updates += 1
-                self.meter.add(self._batch_valid(batch), num_labels)
+                self.meter.add(self._batch_valid(batch),
+                           self._batch_label_width(batch, num_labels))
                 continue
             out = self._eval_step(self.ts, arrays)
             if sweep_acc is not None and "label_multihots" in arrays:
@@ -973,7 +999,8 @@ class Trainer:
                 # accumulation the metrics path below would run)
                 if "loss" in out:
                     losses.append(out["loss"])
-                self.meter.add(self._batch_valid(batch), num_labels)
+                self.meter.add(self._batch_valid(batch),
+                           self._batch_label_width(batch, num_labels))
                 continue
             # periodic sequence-embedding export (reference exports embeddings
             # every 100 eval batches, ProtNoteTrainer.py:551-586)
@@ -1012,7 +1039,7 @@ class Trainer:
                     probs, labels,
                     label_indices=batch.label_indices if varying_subset else None,
                 )
-            self.meter.add(len(ids), num_labels)
+            self.meter.add(len(ids), self._batch_label_width(batch, num_labels))
             if save_results:
                 all_logits.append(logits.astype(np.float16))
                 if full_labels is not None:

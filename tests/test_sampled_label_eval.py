@@ -152,3 +152,17 @@ def test_label_matrix_cache_lru_eviction(rng, trainer_factory):
     assert len(tr._label_matrices) <= 2
     # most recent dataset's matrix is retained
     assert id(datasets[-1].label_view) in tr._label_matrices
+
+
+def test_resume_continues_at_next_epoch(tmp_path, trainer_factory):
+    """Checkpoints record the epoch that COMPLETED; --from-checkpoint must
+    continue at the NEXT one (restarting at the saved epoch re-applied its
+    optimizer updates a second time)."""
+    from protnote_tpu.core.checkpoint import save_checkpoint
+
+    tr = trainer_factory()
+    path = str(tmp_path / "e2.ckpt")
+    save_checkpoint(path, tr.ts, epoch=2, best_val_metric=0.4)
+    tr.load(path, from_checkpoint=True)
+    assert tr.starting_epoch == 3
+    assert tr.best_val_metric == 0.4
