@@ -52,10 +52,27 @@ class BlastTopHits:
         )
         self.timings["makeblastdb"] = time.perf_counter() - t0
 
+    def _db_stale(self) -> bool:
+        """An existing blast_db in work_dir may have been built from a
+        DIFFERENT (or newer) FASTA — reusing it silently transfers labels
+        from the wrong database.  A sidecar records the source path; the
+        mtime check catches in-place FASTA updates."""
+        pin = self.db_path + ".pin"
+        src = self.db_path + ".src"
+        if not os.path.exists(pin):
+            return True
+        if not os.path.exists(src):
+            return True
+        if open(src).read() != os.path.abspath(self.db_fasta_path):
+            return True
+        return os.path.getmtime(pin) < os.path.getmtime(self.db_fasta_path)
+
     def run_blast(self, num_threads: Optional[int] = None,
                   max_target_seqs: int = 1) -> str:
-        if not os.path.exists(self.db_path + ".pin"):
+        if self._db_stale():
             self.make_db()
+            with open(self.db_path + ".src", "w") as fh:
+                fh.write(os.path.abspath(self.db_fasta_path))
         t0 = time.perf_counter()
         subprocess.run(
             ["blastp", "-query", self.queries_fasta_path, "-db", self.db_path,

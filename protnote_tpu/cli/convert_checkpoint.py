@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", default=str(DEFAULT_CONFIG_PATH))
     ap.add_argument("--override", nargs="*", default=None)
+    ap.add_argument("--input-channels", type=int, default=None,
+                    help="one-hot width of the runtime model; cli/main.py "
+                         "uses max(INPUT_CHANNELS, len(amino-acid vocab)), "
+                         "so pass the runtime value when the dataset carries "
+                         "nonstandard residues (B/O/U/X/Z)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -46,7 +51,7 @@ def main(argv=None):
     params_cfg = cfg["params"]
     esp = cfg["embed_sequences_params"]
     pi_cfg = ProteInferConfig(
-        input_channels=esp.get("INPUT_CHANNELS", 20),
+        input_channels=args.input_channels or esp.get("INPUT_CHANNELS", 20),
         output_channels=esp.get("OUTPUT_CHANNELS", 1100),
         kernel_size=esp.get("KERNEL_SIZE", 9),
         dilation_base=esp.get("DILATION_BASE", 3),

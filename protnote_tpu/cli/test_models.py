@@ -7,6 +7,7 @@ a shared JSON."""
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 from typing import Dict, List
 
@@ -16,7 +17,7 @@ logger = logging.getLogger(__name__)
 TEST_COMMANDS: Dict[str, List[str]] = {
     "TEST_DATA_PATH": [
         "--test-paths-names", "TEST_DATA_PATH",
-        "--override", "DECISION_TH", "0.5",
+        "--override", "DECISION_TH", "0.5", "EXTRACT_VOCABULARIES_FROM", "null",
     ],
     "TEST_DATA_PATH_ZERO_SHOT": [
         "--test-paths-names", "TEST_DATA_PATH_ZERO_SHOT",
@@ -38,11 +39,11 @@ TEST_COMMANDS: Dict[str, List[str]] = {
     ],
     "TEST_2024_PINF_VOCAB_DATA_PATH": [
         "--test-paths-names", "TEST_2024_PINF_VOCAB_DATA_PATH",
-        "--override", "DECISION_TH", "0.5",
+        "--override", "DECISION_TH", "0.5", "EXTRACT_VOCABULARIES_FROM", "null",
     ],
     "TEST_TOP_LABELS_DATA_PATH": [
         "--test-paths-names", "TEST_TOP_LABELS_DATA_PATH",
-        "--override", "DECISION_TH", "0.5",
+        "--override", "DECISION_TH", "0.5", "EXTRACT_VOCABULARIES_FROM", "null",
     ],
 }
 
@@ -55,7 +56,9 @@ def main(argv=None):
                     choices=list(TEST_COMMANDS))
     ap.add_argument("--save-prediction-results", action="store_true")
     ap.add_argument("--metrics-file", default="val_test_metrics.json")
-    ap.add_argument("--extra-args", nargs="*", default=[])
+    ap.add_argument("--extra-args", nargs=argparse.REMAINDER, default=[],
+                help="remaining args forward to main.py verbatim "
+                     "(REMAINDER: leading-dash tokens work)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -65,7 +68,12 @@ def main(argv=None):
         for test_set in args.test_sets:
             logger.info("=== %s on %s ===", model_file, test_set)
             cmd = [
-                "--name", f"eval_{test_set}",
+                # the model name rides the run name so multi-checkpoint sweeps stay
+                # distinguishable in the shared metrics JSON (reference
+                # bin/test_models.py: --name {TEST_SET}_{MODEL_NAME})
+                "--name",
+                f"eval_{test_set}_"
+                f"{os.path.splitext(os.path.basename(model_file))[0]}",
                 "--model-file", model_file,
                 "--save-val-test-metrics",
                 "--save-val-test-metrics-file", args.metrics_file,

@@ -29,9 +29,14 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# the EXACT task text + instruct format of the reference cache generator
+# (bin/generate_label_embeddings.py:68-75) — a different instruction would
+# produce a systematically shifted embedding cache, silently incomparable
+# with reference checkpoints
 E5_INSTRUCTION = (
-    "Instruct: Given a protein function keyphrase, definition, or desription,"
-    " retrieve the best matching protein sequence\nQuery: "
+    "Instruct: Identify the main categories, themes, or topics described in "
+    "the following Gene Ontology (GO) term, which is used to detail a "
+    "protein's function\nQuery: "
 )
 MAX_LABEL_TOKENS = 510  # E5 learned positions cap (reference models.py:115-135)
 
@@ -97,10 +102,22 @@ class TorchLabelEncoder:
               account_for_sos: bool = True) -> np.ndarray:
         import torch
 
+        # pooling 'all' keeps the token axis: every chunk must pad to ONE
+        # global width or the final concatenate fails on mismatched T
+        fixed_len = (
+            max(self.token_counts(texts)) if self.pooling_method == "all"
+            else None
+        )
         out = []
         for s in range(0, len(texts), batch_size):
             chunk = list(texts[s : s + batch_size])
-            toks = self.tokenize(chunk)
+            if fixed_len is None:
+                toks = self.tokenize(chunk)
+            else:
+                toks = self.tokenizer(
+                    chunk, padding="max_length", truncation=True,
+                    max_length=fixed_len, return_tensors="pt",
+                )
             toks = {k: v.to(self.device) for k, v in toks.items()}
             with torch.no_grad():
                 hidden = self.model(**toks).last_hidden_state
@@ -192,20 +209,32 @@ class JaxLabelEncoder:
         del model
         self.dim = self.cfg.hidden_size
 
-        def fwd(params, ids, mask):
+        def fwd(params, ids, mask, account_for_sos):
             hidden = text_encoder_forward(params, ids, mask, self.cfg)
-            return pool_hidden_states_jnp(hidden, mask, pooling_method)
+            return pool_hidden_states_jnp(
+                hidden, mask, pooling_method, account_for_sos=account_for_sos
+            )
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(fwd, static_argnums=(3,))
 
     def token_counts(self, texts: Sequence[str]) -> List[int]:
         enc = self.tokenizer(list(texts), truncation=True, max_length=MAX_LABEL_TOKENS)
         return [len(x) for x in enc["input_ids"]]
 
+    # bucketed token widths: tokenizing each chunk to its own 'longest'
+    # would give nearly every chunk a distinct (B, T) shape and recompile
+    # the whole tower per chunk — cache generation becomes compile-bound
+    _LEN_BUCKETS = (32, 64, 96, 128, 192, 256, 384, MAX_LABEL_TOKENS)
+
     def embed(self, texts: Sequence[str], batch_size: int = 128,
               account_for_sos: bool = True) -> np.ndarray:
         import jax.numpy as jnp
 
+        fixed_len = (
+            max(self.token_counts(texts)) if self.pooling_method == "all"
+            else None
+        )
+        pad_id = self.tokenizer.pad_token_id or 0
         out = []
         for s in range(0, len(texts), batch_size):
             chunk = list(texts[s : s + batch_size])
@@ -213,12 +242,25 @@ class JaxLabelEncoder:
                 chunk, padding="longest", truncation=True,
                 max_length=MAX_LABEL_TOKENS, return_tensors="np",
             )
+            ids = toks["input_ids"].astype(np.int32)
+            mask = toks["attention_mask"].astype(np.int32)
+            if fixed_len is not None:
+                width = fixed_len  # pooling 'all': ONE global token width
+            else:
+                width = next(b for b in self._LEN_BUCKETS
+                             if b >= ids.shape[1])
+            # pad tokens to the bucket and rows to the full batch (the last
+            # partial chunk would otherwise compile its own shape); filler
+            # rows get an all-zero mask and are sliced off below
+            n = ids.shape[0]
+            ids = np.pad(ids, ((0, batch_size - n), (0, width - ids.shape[1])),
+                         constant_values=pad_id)
+            mask = np.pad(mask, ((0, batch_size - n), (0, width - mask.shape[1])))
             pooled = self._fwd(
-                self.params,
-                jnp.asarray(toks["input_ids"].astype(np.int32)),
-                jnp.asarray(toks["attention_mask"].astype(np.int32)),
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                account_for_sos,
             )
-            out.append(np.asarray(pooled, dtype=np.float32))
+            out.append(np.asarray(pooled, dtype=np.float32)[:n])
         return np.concatenate(out, axis=0)
 
 

@@ -25,9 +25,16 @@ _build_failed = False
 
 
 def _build() -> bool:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-        return True
     try:
+        # a package shipped with the .so but without the .cpp source must
+        # still load (stat() on the missing source would raise); an existing
+        # .so with no source to compare against is accepted as-is
+        if _LIB.exists() and (
+            not _SRC.exists() or _LIB.stat().st_mtime >= _SRC.stat().st_mtime
+        ):
+            return True
+        if not _SRC.exists():
+            return False
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
             check=True,
@@ -48,7 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _build():
             _build_failed = True
             return None
-        lib = ctypes.CDLL(str(_LIB))
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            # e.g. a -march=native .so built on an incompatible host
+            _build_failed = True
+            return None
         lib.fp_parse_fasta.restype = ctypes.c_void_p
         lib.fp_parse_fasta.argtypes = [
             ctypes.c_char_p,
