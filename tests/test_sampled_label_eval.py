@@ -166,3 +166,41 @@ def test_resume_continues_at_next_epoch(tmp_path, trainer_factory):
     tr.load(path, from_checkpoint=True)
     assert tr.starting_epoch == 3
     assert tr.best_val_metric == 0.4
+
+
+def test_normalized_eval_hoists_dag_and_guards_subsets(rng, trainer_factory, tmp_path):
+    """GO-DAG probability normalization during evaluate(): parent prob >=
+    max(child probs) in the exported results, the child-index table builds
+    once per evaluation (not per batch), and label-subsampled batchers are
+    rejected (the table spans the full vocabulary)."""
+    from unittest import mock
+
+    from protnote_tpu.evaln import go_dag
+
+    ds = build_dataset(rng)
+    vocab = ds.label_vocabulary
+    # every label is a child of vocab[0] (plus itself)
+    parenthood = {l: [vocab[0], l] for l in vocab}
+
+    calls = []
+    real = go_dag.DagNormalizer
+
+    class Counting(real):
+        def __init__(self, *a, **k):
+            calls.append(1)
+            super().__init__(*a, **k)
+
+    with mock.patch.object(go_dag, "DagNormalizer", Counting):
+        res = trainer_factory().evaluate(
+            BucketBatcher(ds, 2, buckets=(64,)),  # several batches
+            normalize_probabilities=True, parenthood=parenthood,
+            save_results=True, output_dir=str(tmp_path), data_split_name="t",
+        )
+    assert len(calls) == 1  # ONE table build for the whole evaluation
+    assert np.isfinite(res["metrics"]["loss"])
+
+    b = BucketBatcher(ds, 4, buckets=(64,), label_sample_size=5)
+    with pytest.raises(ValueError, match="normaliz"):
+        trainer_factory().evaluate(
+            b, normalize_probabilities=True, parenthood=parenthood
+        )
