@@ -229,6 +229,39 @@ def test_engine_drops_optimizer_state(rng):
     assert "step" not in engine.ts
 
 
+def test_mesh_sharded_int8_serving(rng):
+    """Label-sharded mesh x int8 static scales: lazy calibration runs its
+    jit with a replicated output over the mesh, and sharded probabilities
+    match the single-device int8 engine."""
+    from protnote_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    single8, _ = _make_engine(backend="tiled_int8")
+    mesh = make_mesh(MeshSpec(dp=1, label=8))
+    PI, PN = single8.pi_cfg, single8.pn_cfg
+    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
+    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
+    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
+    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
+    matrix = np.random.default_rng(0).normal(size=(L * K, D)).astype(np.float32)
+    vocab = [f"GO:{i:07d}" for i in range(L)]
+    sharded8 = ServingEngine(ts, PI, PN, matrix, vocab, buckets=(32, 64),
+                             max_batch=4, mesh=mesh)
+    assert sharded8._needs_calibration
+
+    seqs = _seqs(rng, 4, lo=10, hi=40)
+    p_sharded = sharded8.score(seqs)
+    assert not sharded8._needs_calibration
+    p_single = single8.score(seqs)
+    # both calibrated on the same first batch of the same weights
+    np.testing.assert_allclose(
+        np.asarray(sharded8.pn_cfg.int8_act_scales),
+        np.asarray(single8.pn_cfg.int8_act_scales), rtol=1e-3,
+    )
+    np.testing.assert_allclose(p_sharded, p_single, atol=5e-3)
+
+
 def test_hot_reload_swaps_weights(rng):
     """engine.reload(new ts): scores change to the new model's, atomically;
     a failed reload rolls back to the old weights."""
