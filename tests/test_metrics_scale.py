@@ -218,7 +218,9 @@ def test_exact_auprc_spool_memory_bounded(rng):
     tracemalloc.stop()
     assert np.isfinite(aps[~np.isnan(aps)]).all()
     # the in-RAM path would concat N*C f16 (16 MB) + cast to f32 (32 MB) on
-    # top of the AP internals; the spooled pass peaks at the per-chunk AP
-    # working set (~10 arrays of N x chunk, ~30 MB at chunk=32) regardless
-    # of C — the bound scales with macro_chunk, not the full label count
-    assert peak < 40 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"
+    # top of the AP internals (>= 48 MB extra); the spooled pass peaks at
+    # the per-chunk AP working set (~10 arrays of N x chunk, ~30 MB at
+    # chunk=32) regardless of C.  45 MB keeps discrimination against the
+    # full-matrix regression while leaving allocator/numpy-version headroom
+    # over the expected ~30 MB (a hard 40 MB ceiling flaked one temp away).
+    assert peak < 45 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"

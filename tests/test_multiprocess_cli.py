@@ -96,10 +96,22 @@ def dist_run(toy_root):
         )
         for i in range(2)
     ]
+    import time as _time
+
     results, logs = {}, []
+    deadline = _time.monotonic() + 560  # ONE shared deadline for both waits
     try:
         for p in procs:
-            out, err = p.communicate(timeout=560)
+            try:
+                out, err = p.communicate(
+                    timeout=max(deadline - _time.monotonic(), 1)
+                )
+            except subprocess.TimeoutExpired:
+                # a distributed-init deadlock is the common failure mode:
+                # kill and DRAIN so the stuck process's stderr (faulthandler
+                # tracebacks) survives into the assertion message
+                p.kill()
+                out, err = p.communicate()
             logs.append((p.returncode, out, err))
             for line in out.splitlines():
                 if line.startswith("RESULT "):

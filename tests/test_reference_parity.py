@@ -305,7 +305,7 @@ def test_fusion_ensembling_parity():
     np.testing.assert_allclose(np.asarray(logits), _t2n(ref), **TOL)
 
 
-def test_noising_formula_parity():
+def test_noising_formula_parity(monkeypatch):
     """Label-embedding noising L_f + (2U-1) * alpha/sqrt(d)
     (ProtNote.py:219-240) given identical noise draws."""
     rng = np.random.default_rng(12)
@@ -321,14 +321,10 @@ def test_noising_formula_parity():
         def __call__(self, key, shape, dtype, lo, hi):
             return jnp.asarray((hi - lo) * U + lo, dtype)
 
-    # substitute the same draws into our implementation
-    import protnote_tpu.models.fusion as fusion_mod
-    orig = jax.random.uniform
-    jax.random.uniform = _FixedUniform()
-    try:
-        mine = noise_label_embeddings(jnp.asarray(Lf), alpha, jax.random.PRNGKey(0))
-    finally:
-        jax.random.uniform = orig
+    # substitute the same draws into our implementation (monkeypatch
+    # guarantees restoration of the shared jax.random attribute)
+    monkeypatch.setattr(jax.random, "uniform", _FixedUniform())
+    mine = noise_label_embeddings(jnp.asarray(Lf), alpha, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(mine), expected, rtol=1e-6, atol=1e-6)
 
 

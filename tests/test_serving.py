@@ -27,7 +27,7 @@ L, K, D = 7, 2, 16
 
 
 def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0,
-                 matrix_seed=None):
+                 matrix_seed=None, mesh=None):
     PI = ProteInferConfig(output_channels=24, kernel_size=5,
                           num_resnet_blocks=1, num_labels=L)
     PN = ProtNoteConfig(protein_embedding_dim=24, label_embedding_dim=D,
@@ -45,7 +45,7 @@ def _make_engine(backend="auto", max_batch=4, buckets=(32, 64), seed=0,
     matrix = rng.normal(size=(L * K, D)).astype(np.float32)
     vocab = [f"GO:{i:07d}" for i in range(L)]
     return ServingEngine(ts, PI, PN, matrix, vocab, buckets=buckets,
-                         max_batch=max_batch), matrix
+                         max_batch=max_batch, mesh=mesh), matrix
 
 
 def _seqs(rng, n, lo=10, hi=50):
@@ -136,15 +136,28 @@ def test_int8_backend_lazy_calibration(rng):
     p8 = engine8.score(seqs)
     assert not engine8._needs_calibration
     assert engine8.pn_cfg.int8_act_scales is not None
-    assert np.max(np.abs(p8 - engine.score(seqs))) < 3e-2
+    exact = engine.score(seqs)
+    assert np.max(np.abs(p8 - exact)) < 3e-2
+    # and the int8 path genuinely ran: quantization noise must separate it
+    # from the exact path (a silent fallback to the float kernels would
+    # make every other assertion here pass vacuously)
+    assert np.max(np.abs(p8 - exact)) > 1e-6
 
 
 def test_micro_batcher_coalesces_concurrent_requests(rng):
     engine, _ = _make_engine()
-    mb = MicroBatcher(engine, max_wait_ms=20.0)
+    score_calls = []
+    orig_score = engine.score
+    engine.score = lambda s: (score_calls.append(len(s)), orig_score(s))[1]
+    # one worker + a generous straggler window: all 5 concurrent requests
+    # land in ONE worker batch (deterministic coalescing evidence — the
+    # request counter alone would pass even with coalescing disabled)
+    mb = MicroBatcher(engine, max_wait_ms=500.0, pipeline_depth=1,
+                      max_batch=16)
     try:
         seqs = [_seqs(rng, int(rng.integers(1, 3))) for _ in range(5)]
-        want = [engine.score(s) for s in seqs]
+        want = [orig_score(s) for s in seqs]
+        n_before = len(score_calls)
         got = [None] * len(seqs)
 
         def run(i):
@@ -158,11 +171,12 @@ def test_micro_batcher_coalesces_concurrent_requests(rng):
             t.join(timeout=30)
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=1e-6)
-        # at least one dispatch served more than one request (coalescing):
-        # 5 requests, batches counted per _score_bucket call
         assert engine.stats.requests == len(seqs)
+        # coalescing: 5 requests dispatched in FEWER worker score calls
+        assert len(score_calls) - n_before < len(seqs)
     finally:
         mb.close()
+        engine.score = orig_score
 
     # errors propagate to the caller without killing the worker
     mb2 = MicroBatcher(engine, max_wait_ms=1.0)
@@ -181,7 +195,7 @@ def test_micro_batcher_bad_request_does_not_poison_cobatch(rng):
     """A malformed request fails in ITS caller's thread (validated before
     enqueue) — a concurrently co-batched valid request must succeed."""
     engine, _ = _make_engine()
-    mb = MicroBatcher(engine, max_wait_ms=50.0)
+    mb = MicroBatcher(engine, max_wait_ms=500.0)
     try:
         good_seqs = _seqs(rng, 2)
         want = engine.score(good_seqs)
@@ -239,15 +253,7 @@ def test_mesh_sharded_int8_serving(rng):
         pytest.skip("needs the 8-device virtual mesh")
     single8, _ = _make_engine(backend="tiled_int8")
     mesh = make_mesh(MeshSpec(dp=1, label=8))
-    PI, PN = single8.pi_cfg, single8.pn_cfg
-    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
-    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
-    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
-    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
-    matrix = np.random.default_rng(0).normal(size=(L * K, D)).astype(np.float32)
-    vocab = [f"GO:{i:07d}" for i in range(L)]
-    sharded8 = ServingEngine(ts, PI, PN, matrix, vocab, buckets=(32, 64),
-                             max_batch=4, mesh=mesh)
+    sharded8, _ = _make_engine(backend="tiled_int8", mesh=mesh)
     assert sharded8._needs_calibration
 
     seqs = _seqs(rng, 4, lo=10, hi=40)
@@ -301,7 +307,8 @@ def test_http_metrics_and_reload_endpoints(rng, tmp_path):
             f"http://127.0.0.1:{port}/v1/predict",
             data=json.dumps({"sequences": seqs, "top_k": 2}).encode(),
         )
-        urllib.request.urlopen(req, timeout=30).read()
+        with urllib.request.urlopen(req, timeout=30) as r:
+            r.read()
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/metrics", timeout=30
         ) as r:
@@ -408,17 +415,7 @@ def test_mesh_sharded_serving_matches_single_device(rng):
         pytest.skip("needs the 8-device virtual mesh")
     engine, _ = _make_engine()
     mesh = make_mesh(MeshSpec(dp=1, label=8))
-
-    PI = engine.pi_cfg
-    PN = engine.pn_cfg
-    pi_p, pi_s = init_proteinfer(jax.random.PRNGKey(0), PI)
-    pn_p, pn_s = init_protnote(jax.random.PRNGKey(1), PN)
-    tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 1e-3})
-    ts = init_train_state(pn_p, pn_s, pi_p, pi_s, tx)
-    matrix = np.random.default_rng(0).normal(size=(L * K, D)).astype(np.float32)
-    vocab = [f"GO:{i:07d}" for i in range(L)]
-    sharded = ServingEngine(ts, PI, PN, matrix, vocab, buckets=(32, 64),
-                            max_batch=4, mesh=mesh)
+    sharded, _ = _make_engine(mesh=mesh)
     assert sharded._num_labels_padded == 8  # 7 labels pad to the axis
 
     seqs = _seqs(rng, 5, lo=10, hi=50)
@@ -428,7 +425,7 @@ def test_mesh_sharded_serving_matches_single_device(rng):
     top = sharded.top_k(seqs, k=3)
     assert all(len(p) == 3 for p in top)
     # padded label ids never leak into results
-    assert all(g in vocab for p in top for g, _ in p)
+    assert all(g in sharded.label_vocabulary for p in top for g, _ in p)
 
 
 def test_serve_cli_build_engine(tmp_path, rng):
