@@ -42,7 +42,13 @@ def main(argv=None):
         logger.info("downloading %s", url)
         urllib.request.urlretrieve(url, tar_path)
         with tarfile.open(tar_path) as tf_:
-            tf_.extractall(args.output_dir)
+            # 'data' filter: the tarball comes from a third-party bucket —
+            # block path traversal (../, absolute members); also the 3.14
+            # default, so behavior stays stable across interpreters
+            try:
+                tf_.extractall(args.output_dir, filter="data")
+            except TypeError:  # Python < 3.12 without the filter arg
+                tf_.extractall(args.output_dir)
         model_dir = os.path.join(
             args.output_dir,
             f"noxpd2_cnn_swissprot_go_random_swiss-cnn_for_swissprot_go_random-{model_id}",

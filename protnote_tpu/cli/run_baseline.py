@@ -43,7 +43,14 @@ def main(argv=None):
 
     trained_cache = LabelEmbeddingCache.load(args.trained_cache)
     zs_cache = LabelEmbeddingCache.load(args.zero_shot_cache)
-    zs_vocab = args.zero_shot_vocab or sorted(set(zs_cache.ids))
+    # `is None`, not truthiness: an explicitly-empty --zero-shot-vocab must
+    # error out, not silently score the entire cache vocabulary
+    if args.zero_shot_vocab is not None and not args.zero_shot_vocab:
+        raise SystemExit("--zero-shot-vocab given but empty")
+    zs_vocab = (
+        args.zero_shot_vocab if args.zero_shot_vocab is not None
+        else sorted(set(zs_cache.ids))
+    )
 
     trained_view = LabelEmbeddingView.build(
         trained_cache, trained_vocab, [args.description_type]

@@ -9,6 +9,7 @@ import argparse
 import json
 import logging
 import os
+import urllib.parse
 import urllib.request
 
 logger = logging.getLogger(__name__)
@@ -16,9 +17,12 @@ logger = logging.getLogger(__name__)
 API = "https://zenodo.org/api/deposit/depositions"
 
 
-def _request(url: str, method: str = "GET", data=None, headers=None):
-    req = urllib.request.Request(url, data=data, method=method,
-                                 headers=headers or {})
+def _request(url: str, token: str, method: str = "GET", data=None,
+             headers=None):
+    # token rides the Authorization header, never the URL: query-string
+    # tokens land in proxy/server logs and in HTTPError messages
+    hdrs = {"Authorization": f"Bearer {token}", **(headers or {})}
+    req = urllib.request.Request(url, data=data, method=method, headers=hdrs)
     with urllib.request.urlopen(req) as resp:
         return json.loads(resp.read() or b"{}")
 
@@ -26,7 +30,9 @@ def _request(url: str, method: str = "GET", data=None, headers=None):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("files", nargs="+", help="files to upload")
-    ap.add_argument("--title", required=True)
+    ap.add_argument("--title", default=None,
+                    help="required when creating a new deposition; unused "
+                         "with --deposition-id")
     ap.add_argument("--description", default="protnote-tpu artefacts")
     ap.add_argument("--deposition-id", default=None,
                     help="existing deposition to append to")
@@ -37,12 +43,13 @@ def main(argv=None):
     if not token:
         raise SystemExit("set ZENODO_ACCESS_TOKEN to upload to Zenodo")
 
-    auth = f"?access_token={token}"
     if args.deposition_id:
-        dep = _request(f"{API}/{args.deposition_id}{auth}")
+        dep = _request(f"{API}/{args.deposition_id}", token)
     else:
+        if not args.title:
+            raise SystemExit("--title is required when creating a deposition")
         dep = _request(
-            f"{API}{auth}", method="POST",
+            API, token, method="POST",
             data=json.dumps({"metadata": {
                 "title": args.title, "upload_type": "dataset",
                 "description": args.description,
@@ -54,8 +61,14 @@ def main(argv=None):
     for path in args.files:
         name = os.path.basename(path)
         logger.info("uploading %s", name)
+        # stream the file object (result artefacts are GB-scale; fh.read()
+        # would hold the whole file in RAM) with the name URL-encoded
         with open(path, "rb") as fh:
-            _request(f"{bucket}/{name}{auth}", method="PUT", data=fh.read())
+            _request(
+                f"{bucket}/{urllib.parse.quote(name)}", token,
+                method="PUT", data=fh,
+                headers={"Content-Length": str(os.path.getsize(path))},
+            )
     logger.info("deposition %s ready (publish manually from the web UI)", dep["id"])
 
 

@@ -16,11 +16,8 @@ atomic-rename contract and the restore path unchanged.
 
 from __future__ import annotations
 
-import json
 import logging
-import os
 import queue
-import tempfile
 import threading
 from typing import Any, Dict, Optional
 
@@ -87,30 +84,11 @@ class AsyncCheckpointer:
                     blob = serialization.to_bytes(host_tree)
                     if tag is not None:
                         self._last_blob = (tag, blob)
-                # same integrity fields as the sync writer
-                # (core/checkpoint.py): without them every trainer-written
-                # checkpoint would silently skip the restore-time CRC check
-                # and the multi-host desync assertion
-                import zlib
+                # ONE on-disk format writer (integrity fields included):
+                # core/checkpoint.py owns the layout
+                from protnote_tpu.core.checkpoint import write_checkpoint_blob
 
-                meta = dict(meta)
-                meta["checksum_crc32"] = zlib.crc32(blob)
-                meta["blob_bytes"] = len(blob)
-                meta_blob = json.dumps(meta).encode()
-                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                fd, tmp = tempfile.mkstemp(
-                    dir=os.path.dirname(path) or ".", suffix=".tmp"
-                )
-                try:
-                    with os.fdopen(fd, "wb") as fh:
-                        fh.write(b"PNTPU1\n")
-                        fh.write(f"{len(meta_blob):016d}".encode())
-                        fh.write(meta_blob)
-                        fh.write(blob)
-                    os.replace(tmp, path)
-                finally:
-                    if os.path.exists(tmp):
-                        os.unlink(tmp)
+                write_checkpoint_blob(path, blob, meta)
             except BaseException as e:  # surfaced on wait()
                 logger.exception("async checkpoint write failed")
                 self._errors.append(e)

@@ -27,26 +27,24 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
-                    best_val_metric: Optional[float] = None,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+def write_checkpoint_blob(path: str, blob: bytes,
+                          meta: Dict[str, Any]) -> None:
+    """Single low-level writer for the on-disk format (shared by the sync
+    and async checkpointers — one place to change the layout).
+
+    Adds the integrity fields (checksum_crc32 / blob_bytes: torn-write
+    detection + cross-process restore equality; the reference was immune by
+    construction via its rank0 broadcast, ProtNoteTrainer.py:921-938, a
+    shared-storage restore is not), then writes atomically:
+    magic, meta length (16 ascii digits), json meta, msgpack tree."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.to_bytes(_to_host(train_state))
-    meta = {
-        "epoch": int(epoch),
-        "best_val_metric": None if best_val_metric is None else float(best_val_metric),
-        # torn/partial-write detection + cross-process restore equality
-        # (the reference was immune by construction via its rank0 broadcast,
-        # ProtNoteTrainer.py:921-938; a shared-storage restore is not)
-        "checksum_crc32": zlib.crc32(blob),
-        "blob_bytes": len(blob),
-        **(extra or {}),
-    }
+    meta = dict(meta)
+    meta["checksum_crc32"] = zlib.crc32(blob)
+    meta["blob_bytes"] = len(blob)
     meta_blob = json.dumps(meta).encode()
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
-            # layout: magic, meta length (8 bytes ascii), json meta, msgpack tree
             fh.write(b"PNTPU1\n")
             fh.write(f"{len(meta_blob):016d}".encode())
             fh.write(meta_blob)
@@ -55,6 +53,18 @@ def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def save_checkpoint(path: str, train_state: Dict[str, Any], epoch: int,
+                    best_val_metric: Optional[float] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    blob = serialization.to_bytes(_to_host(train_state))
+    meta = {
+        "epoch": int(epoch),
+        "best_val_metric": None if best_val_metric is None else float(best_val_metric),
+        **(extra or {}),
+    }
+    write_checkpoint_blob(path, blob, meta)
 
 
 def restore_checkpoint(path: str, train_state_template: Dict[str, Any]
@@ -99,8 +109,14 @@ def _merge_into_template(template, stored, path: str):
     if isinstance(template, (list, tuple)):
         if isinstance(stored, dict):
             if hasattr(template, "_fields"):
-                # namedtuples (optax states) serialize keyed by field name
-                items = [stored[f] for f in template._fields]
+                # namedtuples (optax states) serialize keyed by field name;
+                # a field ADDED since the checkpoint was written keeps its
+                # template value (same tolerance as the dict branch — an
+                # optax upgrade must not brick --from-checkpoint)
+                items = [
+                    stored[f] if f in stored else getattr(template, f)
+                    for f in template._fields
+                ]
             else:  # plain sequences serialize as {"0": ..., "1": ...}
                 items = [stored[str(i)] for i in range(len(stored))]
         else:
