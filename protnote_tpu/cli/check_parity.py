@@ -250,6 +250,9 @@ def _check_map(args, model, results: Dict) -> None:
 
 
 def main(argv=None) -> int:
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
     results: Dict = {}

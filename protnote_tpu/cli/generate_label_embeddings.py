@@ -67,6 +67,9 @@ def load_annotations(path: str):
 
 
 def main(argv=None):
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=str(DEFAULT_CONFIG_PATH))
     ap.add_argument("--annotations", default=None,

@@ -65,6 +65,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def run(args) -> Dict:
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     # must run before any other JAX API touches the devices
     from protnote_tpu.parallel.distributed import (
         initialize_distributed, is_main_process,

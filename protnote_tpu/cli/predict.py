@@ -18,6 +18,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import jax
 
     from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup

@@ -109,6 +109,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from protnote_tpu.serving import make_http_server
 
     logging.basicConfig(level=logging.INFO)

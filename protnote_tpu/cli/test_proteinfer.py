@@ -17,6 +17,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from protnote_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
