@@ -13,6 +13,24 @@ import os
 from typing import Optional, Tuple
 
 
+def resolve_label_tile(params: dict) -> int:
+    """Label tile size for the pair-scoring kernel.
+
+    The TPU-native knob is LABEL_TILE_SIZE.  The reference's equivalent
+    inference lever is LABEL_BATCH_SIZE_LIMIT_NO_GRAD (the no-grad label
+    chunk size, base_config.yaml:23); existing ``--override`` command lines
+    setting it keep working: when LABEL_TILE_SIZE is left at its default and
+    the legacy key is set, its value is honored rounded UP to the nearest
+    multiple of 128 (MXU lane width — sub-128 tiles waste the systolic
+    array), min 128.
+    """
+    tile = params.get("LABEL_TILE_SIZE", 512)
+    legacy = params.get("LABEL_BATCH_SIZE_LIMIT_NO_GRAD")
+    if legacy and tile == 512:
+        tile = max(128, -(-int(legacy) // 128) * 128)
+    return int(tile)
+
+
 def resolve_label_mesh(mesh_label_arg: Optional[int], params: dict, log):
     """(dp=1, label=N) mesh over the FIRST N devices, or None.
 
@@ -73,7 +91,7 @@ def build_inference_model(
         inference_descriptions_per_label=len(
             params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+")
         ),
-        label_tile=params.get("LABEL_TILE_SIZE", 512),
+        label_tile=resolve_label_tile(params),
         compute_dtype=(
             jnp.bfloat16 if params.get("MIXED_PRECISION", True)
             else jnp.float32

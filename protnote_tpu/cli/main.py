@@ -83,6 +83,7 @@ def run(args) -> Dict:
     import jax
     import jax.numpy as jnp
 
+    from protnote_tpu.cli._model_setup import resolve_label_tile
     from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
     from protnote_tpu.data.batching import BucketBatcher
     from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
@@ -176,7 +177,7 @@ def run(args) -> Dict:
         inference_descriptions_per_label=len(
             params.get("INFERENCE_GO_DESCRIPTIONS", "name+label").split("+")
         ),
-        label_tile=params.get("LABEL_TILE_SIZE", 512),
+        label_tile=resolve_label_tile(params),
         compute_dtype=jnp.bfloat16 if params.get("MIXED_PRECISION", True) else jnp.float32,
     )
 
