@@ -20,10 +20,74 @@ import argparse
 import json
 from functools import partial
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_PROBE_SRC = (
+    "import os, jax\n"
+    "if os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu':\n"
+    "    jax.config.update('jax_platforms', 'cpu')\n"
+    "print('BACKEND_OK', jax.devices()[0].platform, flush=True)\n"
+)
+
+
+def acquire_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> None:
+    """Wait for the accelerator backend, surviving axon-tunnel outages.
+
+    The tunnel's failure mode is an indefinite HANG inside ``jax.devices()``
+    (not an exception), so the probe runs in a SUBPROCESS with a hard
+    timeout, retried with backoff up to ``max_wait_s``.  On final failure
+    this prints ONE structured JSON line ({"error": "tpu_backend_unavailable",
+    ...}) and exits with code 3, so the driver records an infrastructure
+    outage rather than a code failure (VERDICT r3 missing #2; bench.py
+    previously died with a bare traceback at jax.devices()).
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return  # host CPU backend is always available
+    deadline = time.monotonic() + max_wait_s
+    probe_timeout_s = max(10.0, min(probe_timeout_s, max_wait_s))
+    attempt = 0
+    last_err = ""
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if out.returncode == 0 and "BACKEND_OK" in out.stdout:
+                if attempt > 1:
+                    print(f"[bench] backend up after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+            last_err = (out.stderr or out.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last_err = (f"probe hung >{probe_timeout_s:.0f}s in jax.devices() "
+                        "(axon tunnel outage pattern)")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(json.dumps({
+                "error": "tpu_backend_unavailable",
+                "metric": "tpu backend unavailable (axon tunnel outage; "
+                          "bounded probes exhausted)",
+                "value": 0,
+                "unit": "none",
+                "vs_baseline": 0.0,
+                "probes": attempt,
+                "waited_s": round(max_wait_s - remaining),
+                "last_error": last_err,
+            }), flush=True)
+            sys.exit(3)
+        backoff = min(60.0, 5.0 * attempt, remaining)
+        print(f"[bench] backend probe {attempt} failed "
+              f"({time.monotonic()-t0:.0f}s): {last_err.splitlines()[-1] if last_err else 'unknown'}; "
+              f"retrying in {backoff:.0f}s ({remaining:.0f}s left)",
+              file=sys.stderr, flush=True)
+        time.sleep(backoff)
 
 
 def main():
@@ -70,7 +134,14 @@ def main():
                          "concurrent-client throughput at the flagship shape")
     ap.add_argument("--serve-clients", type=int, default=8)
     ap.add_argument("--serve-requests", type=int, default=128)
+    ap.add_argument("--backend-wait", type=float,
+                    default=float(os.environ.get("BENCH_BACKEND_WAIT_S", 1500)),
+                    help="max seconds to wait for the TPU backend before "
+                         "emitting a structured tpu_backend_unavailable "
+                         "JSON line and exiting 3")
     args = ap.parse_args()
+
+    acquire_backend(args.backend_wait)
 
     import jax
 
