@@ -75,6 +75,13 @@ class TrainerConfig:
     # were supplied (static scales are both faster — 242 vs 205 seqs/s
     # end-to-end — and drop the dynamic subsample-max clip risk)
     int8_calibrate: bool = True
+    # exact-mAP host accumulator: spill score shards to the disk spool past
+    # this many buffered bytes (None = ExactAUPRC's 1 GB default).  The knob
+    # for pod-scale evals (570k x 32k f32 shards = ~73 GB) and for the
+    # pod-scale rehearsal test.
+    eval_spill_threshold_bytes: Optional[int] = None
+    eval_spill_dir: Optional[str] = None
+    eval_spill_tile_rows: Optional[int] = None
 
     @classmethod
     def from_params(cls, params: Dict, **overrides) -> "TrainerConfig":
@@ -88,6 +95,9 @@ class TrainerConfig:
             seed=params.get("SEED", 42),
             debug_nan=params.get("DEBUG_NAN", False),
             int8_calibrate=params.get("INT8_CALIBRATE", True),
+            eval_spill_threshold_bytes=params.get("EVAL_SPILL_THRESHOLD_BYTES"),
+            eval_spill_dir=params.get("EVAL_SPILL_DIR"),
+            eval_spill_tile_rows=params.get("EVAL_SPILL_TILE_ROWS"),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -866,6 +876,9 @@ class Trainer:
                 num_labels=eff_labels,
                 threshold=self.cfg.decision_threshold,
                 map_estimate=self.cfg.estimate_map,
+                spill_threshold_bytes=self.cfg.eval_spill_threshold_bytes,
+                spill_dir=self.cfg.eval_spill_dir,
+                spill_tile_rows=self.cfg.eval_spill_tile_rows,
             )
         # device fast path: accumulate everything on-chip, never read logits
         # back (VERDICT r1 weak #4 — ESTIMATE_MAP was wired to the host

@@ -145,8 +145,8 @@ def test_large_scale_micro_memory_bounded(rng):
         s = rng.random((16, 2048)).astype(np.float16)
         t = rng.random((16, 2048)) < 0.01
         acc.update(s, t)
-    # histogram stays O(65536) regardless of stream size
-    assert acc._micro_pos.shape == (65536,)
+    # histogram stays O(MICRO_BINS) regardless of stream size
+    assert acc._micro_pos.shape == (ExactAUPRC.MICRO_BINS,)
     out = acc.compute()
     assert 0.0 <= out["map_micro"] <= 1.0
 
@@ -177,7 +177,7 @@ def test_device_finalize_matches_host(rng):
 
 def test_exact_auprc_spool_matches_in_ram(rng):
     """The disk-spooled macro path (VERDICT r2 weak #4) is bit-identical to
-    the in-RAM path: same f16 quantisation, same chunked AP."""
+    the in-RAM path: same stored precision, same chunked AP."""
     N, C = 700, 37
     probs = rng.random((N, C)).astype(np.float32)
     targets = rng.random((N, C)) < 0.15

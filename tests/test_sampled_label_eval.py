@@ -80,8 +80,10 @@ def test_estimate_map_device_path_matches_host(rng, trainer_factory):
     assert m_dev["f1_micro"] == pytest.approx(m_host["f1_micro"], abs=1e-6)
     assert m_dev["precision_samplewise"] == pytest.approx(
         m_host["precision_samplewise"], abs=1e-6)
-    # binned mAP approximates exact mAP
-    assert m_dev["map_micro"] == pytest.approx(m_host["map_micro"], abs=0.02)
+    # binned (512-bin) mAP approximates exact mAP — loose by construction on
+    # this tiny noisy set (tolerance recalibrated when the exact path moved
+    # from f16 keys to the 2^20 logit grid)
+    assert m_dev["map_micro"] == pytest.approx(m_host["map_micro"], abs=0.03)
 
 
 def test_threshold_sweep_rejects_sampled_labels(rng, trainer_factory):
