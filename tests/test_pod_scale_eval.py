@@ -80,6 +80,14 @@ def test_spool_engages_in_full_sharded_eval_loop(rng):
     for k in m_ram:
         if k in ("seqs_per_sec", "pairs_per_sec"):  # wall-clock meters
             continue
+        if k == "map_micro":
+            # in-RAM micro uses the exact full sort; the spooled run uses
+            # the 2^20 logit-grid histogram.  At this tiny scale (1.2k
+            # pairs clustered near p=0.5 by the random-weight model) grid
+            # ties are relatively loud; micro precision itself is gated in
+            # test_metrics.py — this test gates the SPOOL integration.
+            assert m_spool[k] == pytest.approx(m_ram[k], abs=1e-3), k
+            continue
         assert m_spool[k] == m_ram[k], (k, m_spool[k], m_ram[k])
 
 
