@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--stream-cache", choices=["auto", "on", "off"],
                     default="auto",
                     help="streamed path z1 cache (TRAIN_STREAMING_CACHE)")
+    ap.add_argument("--fused-bn-vjp", action="store_true",
+                    help="train bench with the hand-written 2-pass BN+ReLU "
+                         "backward (TRAIN_FUSED_BN_VJP)")
     ap.add_argument("--kernel-only", action="store_true",
                     help="micro-bench the pair scorer + encoder kernels on "
                          "synthetic device-resident arrays (r1 headline)")
@@ -611,6 +614,7 @@ def main():
             train_label_tile=args.stream,
             train_streaming_cache={"auto": None, "on": True, "off": False}[
                 args.stream_cache],
+            train_fused_bn_vjp=args.fused_bn_vjp,
         )
         tx = make_optimizer({"OPTIMIZER": "Adam", "LEARNING_RATE": 3e-4,
                              "CLIP_VALUE": 1.0,
@@ -645,6 +649,7 @@ def main():
             "metric": f"train seqs/sec/chip (ProtNote step: B={B} x {L} GO labels,"
                       f" FocalLoss+Adam{'+remat' if args.remat else ''}"
                       f"{'+bf16mom' if args.moments_bf16 else ''}"
+                      f"{'+fusedbn' if args.fused_bn_vjp else ''}"
                       f"{f'+stream{args.stream}' if args.stream else ''}"
                       f"{f'+zcache_{args.stream_cache}' if args.stream and args.stream_cache != 'auto' else ''},"
                       f" {dev.device_kind}; baseline = per-V100 rate of the"

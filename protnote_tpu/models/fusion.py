@@ -76,6 +76,10 @@ class ProtNoteConfig:
     # streamed path z1 cache: None = auto (fits-in-HBM heuristic),
     # True/False = force.  See pair_logits_streaming_train(cache_first=...)
     train_streaming_cache: Any = None
+    # opt-in: hand-written 2-pass BN+ReLU backward on the decomposed
+    # training path (ops/streaming_train._bn_relu) — candidate for the
+    # bandwidth-bound training residual; gradients exact (test-gated)
+    train_fused_bn_vjp: bool = False
 
     @property
     def output_mlp_hidden_dim(self) -> int:
@@ -122,6 +126,7 @@ class ProtNoteConfig:
             gradient_checkpointing=params.get("GRADIENT_CHECKPOINTING", False),
             train_label_tile=params.get("TRAIN_STREAMING_LABEL_TILE", 0) or 0,
             train_streaming_cache=params.get("TRAIN_STREAMING_CACHE", None),
+            train_fused_bn_vjp=params.get("TRAIN_FUSED_BN_VJP", False),
             pair_backend=params.get("PAIR_BACKEND", None) or "auto",
             int8_act_scales=(
                 tuple(float(s) for s in params["INT8_ACT_SCALES"])
@@ -462,6 +467,7 @@ def protnote_forward(
                 example_mask=example_mask, label_mask=label_mask,
                 compute_dtype=cfg.compute_dtype,
                 remat=cfg.gradient_checkpointing,
+                fused_bn_vjp=cfg.train_fused_bn_vjp,
             )
             new_state["output_mlp"] = om_s
         elif train or backend == "dense":
