@@ -18,16 +18,19 @@ def resolve_label_tile(params: dict) -> int:
 
     The TPU-native knob is LABEL_TILE_SIZE.  The reference's equivalent
     inference lever is LABEL_BATCH_SIZE_LIMIT_NO_GRAD (the no-grad label
-    chunk size, base_config.yaml:23); existing ``--override`` command lines
-    setting it keep working: when LABEL_TILE_SIZE is left at its default and
-    the legacy key is set, its value is honored rounded UP to the nearest
-    multiple of 128 (MXU lane width — sub-128 tiles waste the systolic
-    array), min 128.
+    chunk size — a MEMORY CAP, base_config.yaml:23); existing ``--override``
+    command lines setting it keep working: when LABEL_TILE_SIZE is left at
+    its default and the legacy key is set, its value is honored rounded
+    DOWN to a multiple of 128 (MXU lane width — sub-128 tiles waste the
+    systolic array), so the user's memory cap is respected.  Values below
+    128 clamp up to one MXU tile, the smallest chunk the kernel can run —
+    its footprint is far below what a 50-label torch chunk cost the
+    reference anyway.
     """
     tile = params.get("LABEL_TILE_SIZE", 512)
     legacy = params.get("LABEL_BATCH_SIZE_LIMIT_NO_GRAD")
     if legacy and tile == 512:
-        tile = max(128, -(-int(legacy) // 128) * 128)
+        tile = max(128, (int(legacy) // 128) * 128)
     return int(tile)
 
 

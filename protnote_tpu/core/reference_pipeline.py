@@ -506,6 +506,21 @@ def run_reference_pipeline(case: Dict, decision_th: float = 0.5,
     )
     randomize_bn_running_stats(model, seed + 1)
 
+    # De-degenerate the decision surface: random-init logits sit wholly on
+    # one side of DECISION_TH (F1 comparisons would be the vacuous
+    # 0.0 == 0.0) — center the output neuron's bias on the median logit of
+    # one batch so predictions straddle the threshold and the F1/confusion
+    # composition is actually exercised.
+    model.eval()
+    with torch.no_grad():
+        b0 = next(iter(test_loader))
+        lg0, _ = model(sequence_onehots=b0["sequence_onehots"],
+                       sequence_lengths=b0["sequence_lengths"],
+                       label_embeddings=b0["label_embeddings"])
+        out_linear = [m for m in model.output_layer.modules()
+                      if isinstance(m, torch.nn.Linear)][-1]
+        out_linear.bias -= lg0.median()
+
     ckpt_path = case["root"] / "outputs" / "shared_reference_checkpoint.pt"
     torch.save({"model_state_dict": model.state_dict(), "epoch": 1,
                 "best_val_metric": 0.0}, str(ckpt_path))

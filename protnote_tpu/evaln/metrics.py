@@ -113,7 +113,7 @@ class ConfusionAccumulator:
         """``label_indices``: full-vocabulary column index of each supplied
         column, for batches scoring a label subset (reference
         VALIDATION_LABEL_SAMPLE_SIZE / in-batch sampling, collators.py:95-133)."""
-        pred = probs > self.threshold
+        pred = probs >= self.threshold  # >= : reference semantics (calculate_tp_fn_fp, ProtNoteTrainer.py:76)
         t = targets.astype(bool)
         if mask is not None:
             keep = mask.astype(bool)
@@ -190,7 +190,7 @@ class SamplewiseAccumulator:
         if mask is not None:
             keep = mask.astype(bool)
             probs, targets = probs[keep], targets[keep]
-        pred = probs > self.threshold
+        pred = probs >= self.threshold  # >= : reference semantics (calculate_tp_fn_fp, ProtNoteTrainer.py:76)
         t = targets.astype(bool)
         tp = (pred & t).sum(axis=1)
         # precision only over samples with >=1 positive prediction
@@ -241,11 +241,16 @@ def _logit_grid_keys(probs: np.ndarray, num_bins: int) -> np.ndarray:
     (found by the reference-pipeline parity oracle,
     core/reference_pipeline.py)."""
     p = np.asarray(probs, dtype=np.float64)
-    with np.errstate(divide="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
         lg = np.log(p) - np.log1p(-p)
     lg = np.clip(lg, _LOGIT_LO, _LOGIT_HI)
     scale = num_bins / (_LOGIT_HI - _LOGIT_LO)
-    return np.minimum(((lg - _LOGIT_LO) * scale).astype(np.int64), num_bins - 1)
+    keys = ((lg - _LOGIT_LO) * scale).astype(np.int64)
+    # NaN probabilities (a diverged checkpoint) land on key 0 instead of
+    # INT64_MIN, which would crash np.bincount mid-eval; the caller tracks
+    # the NaN count and reports NaN metrics (the pre-logit-grid behaviour)
+    keys = np.where(np.isnan(lg), 0, keys)
+    return np.clip(keys, 0, num_bins - 1)
 
 
 def _ap_from_dense_hist(pos: np.ndarray, neg: np.ndarray) -> float:
@@ -304,6 +309,7 @@ class ExactAUPRC:
         self._spool = None  # (tmpdir, scores_fh, targets_fh, tile_row_counts)
         self._micro_pos = np.zeros(self.MICRO_BINS, dtype=np.int64)
         self._micro_neg = np.zeros(self.MICRO_BINS, dtype=np.int64)
+        self._nan_count = 0
 
     def update(self, probs: np.ndarray, targets: np.ndarray,
                mask: Optional[np.ndarray] = None,
@@ -329,6 +335,7 @@ class ExactAUPRC:
         self._scores.append(scores)
         self._targets.append(t)
         self._buffered_bytes += scores.nbytes + t.nbytes
+        self._nan_count += int(np.isnan(np.asarray(probs, np.float32)).sum())
         # micro keys from the UNSTORED input — independent of store_dtype
         keys = _logit_grid_keys(probs, self.MICRO_BINS).reshape(-1)
         flat_t = t.reshape(-1)
@@ -406,8 +413,16 @@ class ExactAUPRC:
     def compute(self) -> Dict[str, float]:
         if not self._scores and self._spool is None:
             return {"map_micro": float("nan"), "map_macro": float("nan")}
+        if self._nan_count:
+            # diverged model: report NaN rather than ranking garbage
+            return {"map_micro": float("nan"), "map_macro": float("nan")}
         total_pairs = int(self._micro_pos.sum() + self._micro_neg.sum())
-        if self._spool is None and total_pairs <= self.EXACT_MICRO_MAX_PAIRS:
+        if (self._spool is None
+                and self.store_dtype == np.float32
+                and total_pairs <= self.EXACT_MICRO_MAX_PAIRS):
+            # bit-exact full sort of the (exact, f32) in-RAM shards; with
+            # store_dtype=f16 the shards are themselves quantised, so the
+            # logit-grid histogram below is the MORE accurate micro basis
             scores = np.concatenate(
                 [s.reshape(-1).astype(np.float32) for s in self._scores])
             targets = np.concatenate([t.reshape(-1) for t in self._targets])
@@ -596,7 +611,7 @@ class DeviceEvalAccumulator:
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             valid = (example_mask[:, None] > 0) & (label_mask[None, :] > 0)
             t = (targets > 0) & valid
-            pred = (probs > th) & valid
+            pred = (probs >= th) & valid  # >= : reference semantics
             new = dict(state)
             L = probs.shape[1]
             tp_inc = jnp.sum(pred & t, axis=0).astype(jnp.int32)

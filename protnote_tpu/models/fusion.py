@@ -439,6 +439,13 @@ def protnote_forward(
             and cfg.dropout == 0.0
             and om_state is not None
         ):
+            if cfg.train_fused_bn_vjp:
+                raise ValueError(
+                    "TRAIN_FUSED_BN_VJP applies to the decomposed dense "
+                    "training path only; the streamed scorer "
+                    "(TRAIN_STREAMING_LABEL_TILE > 0) has its own tiled "
+                    "BN handling — unset one of the two"
+                )
             from protnote_tpu.ops.streaming_train import pair_logits_streaming_train
 
             logits, om_s = pair_logits_streaming_train(

@@ -90,44 +90,41 @@ def _bn_relu(z, rows, n, scale, bias, running_mean):
     (their cotangents are structurally zero — the loss does not depend on
     the new state).
     """
-    y, mean, var, _ = _bn_relu_fwd_impl(z, rows, n, scale, bias, running_mean)
+    y, mean, var, _, _, _ = _bn_relu_fwd_impl(z, rows, n, scale, bias,
+                                              running_mean)
     return y, mean, var
 
 
 def _bn_relu_fwd_impl(z, rows, n, scale, bias, running_mean):
-    r = jax.lax.stop_gradient(running_mean.astype(jnp.float32))
-    zf = z.astype(jnp.float32)
-    zc = zf - r
-    zm = zc * rows
-    s1 = jnp.sum(zm, axis=0) / n
-    s2 = jnp.sum(zm * zc, axis=0) / n
-    mean = s1 + r
-    var = jnp.maximum(s2 - s1 * s1, 0.0)
+    # same building blocks as the unfused branch — a fix to the shared
+    # moment/affine math propagates to the fused path by construction
+    mean, var = _shifted_moments(z, rows, n, running_mean)
+    inv, shift = _affine({"scale": scale, "bias": bias}, mean, var)
     istd = jax.lax.rsqrt(var + BN_EPS)
-    inv = istd * scale.astype(jnp.float32)
-    shift = bias.astype(jnp.float32) - mean * inv
-    y = jax.nn.relu(zf * inv + shift).astype(z.dtype)
-    return y, mean, var, istd
+    y = jax.nn.relu(z.astype(jnp.float32) * inv + shift).astype(z.dtype)
+    return y, mean, var, istd, inv, shift
 
 
 def _bn_relu_fwd(z, rows, n, scale, bias, running_mean):
-    y, mean, var, istd = _bn_relu_fwd_impl(z, rows, n, scale, bias,
-                                           running_mean)
-    res = (z, rows, n, scale, bias, mean, istd)
+    y, mean, var, istd, inv, shift = _bn_relu_fwd_impl(
+        z, rows, n, scale, bias, running_mean)
+    res = (z, rows, n, scale, mean, istd, inv, shift)
     return (y, mean, var), res
 
 
 def _bn_relu_bwd(res, cts):
     dy, dmean_out, dvar_out = cts
-    z, rows, n, scale, bias, mean, istd = res
+    z, rows, n, scale, mean, istd, inv, shift = res
     scale_f = scale.astype(jnp.float32)
-    bias_f = bias.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     zf = z.astype(jnp.float32)
     # pass 1 — ONE fused read of (z, dy): recompute xhat + the relu gate,
-    # reduce the two sufficient channel sums
+    # reduce the two sufficient channel sums.  The gate uses the EXACT
+    # forward expression (zf*inv + shift) — an algebraically equal but
+    # differently-rounded form (xhat*scale + bias) can flip for
+    # pre-activations within rounding of 0
     xhat = (zf - mean) * istd
-    gate = (xhat * scale_f + bias_f) > 0
+    gate = (zf * inv + shift) > 0
     g = jnp.where(gate, dyf, 0.0)
     G1 = jnp.sum(g, axis=0)          # = dbias
     G2 = jnp.sum(g * xhat, axis=0)   # = dscale
@@ -142,7 +139,7 @@ def _bn_relu_bwd(res, cts):
     dz = dz + mn * (dmean_out + (2.0 * dvar_out / istd) * xhat)
     return (dz.astype(z.dtype), jnp.zeros_like(rows),
             jnp.zeros_like(jnp.asarray(n, jnp.float32)),
-            G2.astype(scale.dtype), G1.astype(bias.dtype),
+            G2.astype(scale.dtype), G1.astype(scale.dtype),
             jnp.zeros_like(mean))
 
 

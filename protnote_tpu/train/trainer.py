@@ -1125,7 +1125,7 @@ class Trainer:
             valid = mask[:, None] > 0
 
             def per_thr(th):
-                pred = (probs > th) & valid
+                pred = (probs >= th) & valid  # >= : reference semantics
                 return (
                     jnp.sum(pred & t, axis=0),
                     jnp.sum(pred & ~t, axis=0),

@@ -51,9 +51,10 @@ def test_legacy_label_batch_size_limit_maps_to_tile():
 
     assert resolve_label_tile({}) == 512
     assert resolve_label_tile({"LABEL_TILE_SIZE": 256}) == 256
-    # legacy 50 -> rounded up to the 128-lane MXU tile
+    # the legacy key is a memory CAP: round DOWN to the 128-lane MXU tile
+    # (sub-128 clamps up to the one-tile minimum)
     assert resolve_label_tile({"LABEL_BATCH_SIZE_LIMIT_NO_GRAD": 50}) == 128
-    assert resolve_label_tile({"LABEL_BATCH_SIZE_LIMIT_NO_GRAD": 1000}) == 1024
+    assert resolve_label_tile({"LABEL_BATCH_SIZE_LIMIT_NO_GRAD": 1000}) == 896
     # an explicit LABEL_TILE_SIZE override wins over the legacy key
     assert resolve_label_tile({"LABEL_TILE_SIZE": 256,
                                "LABEL_BATCH_SIZE_LIMIT_NO_GRAD": 1000}) == 256

@@ -124,3 +124,37 @@ def test_eval_metrics_mask(data):
     for k in r1:
         if not np.isnan(r1[k]):
             assert abs(r1[k] - r2[k]) < 1e-9, k
+
+
+def test_exact_auprc_tolerates_nan_scores(rng):
+    """A diverged checkpoint emitting NaN probabilities must not crash the
+    eval mid-stream (the logit-grid keys once cast NaN to INT64_MIN and
+    np.bincount raised); the accumulator reports NaN metrics instead."""
+    from protnote_tpu.evaln.metrics import ExactAUPRC
+
+    m = ExactAUPRC(num_labels=4)
+    probs = rng.random((6, 4)).astype(np.float32)
+    probs[2, 1] = np.nan
+    targets = rng.random((6, 4)) < 0.4
+    m.update(probs, targets)  # must not raise
+    m.update(rng.random((6, 4)).astype(np.float32), targets)
+    out = m.compute()
+    assert np.isnan(out["map_micro"]) and np.isnan(out["map_macro"])
+
+
+def test_exact_auprc_f16_store_uses_histogram_micro(rng):
+    """store_dtype=f16 (the halve-the-spool option) must not silently fall
+    back to sorting the quantised shards — the logit-grid histogram built
+    from the unquantised stream is the more accurate micro basis."""
+    from sklearn.metrics import average_precision_score
+
+    from protnote_tpu.evaln.metrics import ExactAUPRC
+
+    probs = rng.random((400, 8)).astype(np.float32)
+    targets = rng.random((400, 8)) < 0.1
+    m16 = ExactAUPRC(num_labels=8, store_dtype=np.float16)
+    m16.update(probs, targets)
+    sk = average_precision_score(targets.reshape(-1), probs.reshape(-1))
+    # histogram error ~1e-5 at this scale; an f16 shard sort would sit at
+    # the f16 tie-collapse level (~1e-3 here)
+    assert abs(m16.compute()["map_micro"] - sk) < 5e-4

@@ -34,6 +34,11 @@ def test_metric_dict_parity(parity_results):
         # scores everything 0.5 would "agree" trivially on some metrics)
         assert np.isfinite(entry["ours"]) and np.isfinite(entry["reference"])
     assert 0.0 < parity_results["pipeline_map_micro"]["reference"] < 1.0
+    # the F1 comparison must be non-degenerate too (the output bias is
+    # centered on the median logit so predictions straddle DECISION_TH —
+    # an all-negative decision surface would make f1 == 0.0 on both sides
+    # regardless of composition bugs)
+    assert 0.0 < parity_results["pipeline_f1_micro"]["reference"] < 1.0
 
 
 def test_threshold_sweep_parity(parity_results):
