@@ -35,7 +35,13 @@ def make_optimizer(params_cfg: Dict[str, Any],
     elif name == "AdamW":
         base = optax.adamw(lr, weight_decay=wd, mu_dtype=mu_dtype)
     elif name == "SGD":
-        base = optax.sgd(lr, momentum=0.9, accumulator_dtype=mu_dtype)
+        # reference semantics (ProtNoteTrainer.py:239-244): plain
+        # torch.optim.SGD — NO momentum, L2 weight decay folded into the
+        # gradient inside the step (i.e. AFTER clipping).  A previous 0.9
+        # momentum default here silently diverged from reference SGD runs.
+        base = optax.sgd(lr)
+        if wd:
+            base = optax.chain(optax.add_decayed_weights(float(wd)), base)
     else:
         raise ValueError(f"Unknown optimizer {name}")
 

@@ -147,3 +147,36 @@ def test_loss_factory(data):
                           "FOCAL_LOSS_GAMMA": 2, "FOCAL_LOSS_ALPHA": -1})
         v = float(fn(jnp.array(logits), jnp.array(targets)))
         assert np.isfinite(v)
+
+
+def test_sgd_matches_torch_semantics():
+    """make_optimizer('SGD') follows torch.optim.SGD as the reference uses
+    it (_set_optimizer, ProtNoteTrainer.py:239-244): NO momentum, L2 weight
+    decay folded into the gradient inside the step (after clipping).  A 0.9
+    momentum default silently diverged here until round 4."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from protnote_tpu.train.optim import make_optimizer
+
+    w0 = np.array([0.5, -1.2, 2.0], np.float32)
+    g = np.array([0.3, -0.1, 0.05], np.float32)
+    lr, wd = 0.1, 0.01
+
+    tp = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([tp], lr=lr, weight_decay=wd)
+    for _ in range(3):
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+
+    tx = make_optimizer({"OPTIMIZER": "SGD", "LEARNING_RATE": lr,
+                         "WEIGHT_DECAY": wd})
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=1e-6)
