@@ -61,7 +61,7 @@ def resolve_label_mesh(mesh_label_arg: Optional[int], params: dict, log):
 
 def build_inference_model(
     config: dict, params: dict, paths: dict, cache, run_name: str,
-    model_file: Optional[str], mesh, log,
+    model_file: Optional[str], mesh, log, loss_fn=None,
 ) -> Tuple:
     """-> (pi_cfg, pn_cfg, trainer): full-size configs from the resolved
     config sections, ProteInfer weights from the TF pickle when present
@@ -111,7 +111,9 @@ def build_inference_model(
     ts = init_train_state(pn_params, pn_state, pi_params, pi_state, tx)
 
     tcfg = TrainerConfig.from_params(params, run_name=run_name)
-    trainer = Trainer(ts, pi_cfg, pn_cfg, loss_fn=None, tx=tx, config=tcfg,
+    trainer = Trainer(ts, pi_cfg, pn_cfg, loss_fn=loss_fn, tx=tx, config=tcfg,
+                      encoder_bn_train_mode=params.get(
+                          "ENCODER_BN_TRAIN_MODE", False),
                       mesh=mesh)
     if model_file:
         trainer.load(model_file)

@@ -81,6 +81,13 @@ def build_argparser() -> argparse.ArgumentParser:
                          "dataset and compare the metric dict + threshold "
                          "sweep against our cli/main.py evaluation "
                          "(core/reference_pipeline.py)")
+    ap.add_argument("--reference-train", nargs="?", const="/root/reference",
+                    default=None, metavar="REF_ROOT",
+                    help="multi-step TRAIN-loop parity vs the reference's own "
+                         "ProtNoteTrainer.train_one_epoch: tight SGD gate "
+                         "(losses, F1s, final weights + BN running stats) and "
+                         "a loss-gated Adam run "
+                         "(core/reference_pipeline.run_train_parity)")
     ap.add_argument("--artifact-status", action="store_true",
                     help="probe every real artifact this gate can consume "
                          "(ProteInfer pickles, GO/EC annotations, E5/BioGPT "
@@ -369,6 +376,17 @@ def main(argv=None) -> int:
             )
         except Exception as e:  # e.g. reference tree not mounted
             results["reference_pipeline"] = {"status": "FAIL", "error": str(e)}
+
+    if args.reference_train:
+        from protnote_tpu.core.reference_pipeline import run_train_parity
+
+        try:
+            results["reference_train_sgd"] = run_train_parity(
+                args.reference_train, epochs=2, optimizer="SGD", lr=0.05)
+            results["reference_train_adam"] = run_train_parity(
+                args.reference_train, epochs=2, optimizer="Adam", lr=3e-3)
+        except Exception as e:  # e.g. reference tree not mounted
+            results["reference_train_sgd"] = {"status": "FAIL", "error": str(e)}
 
     if args.artifact_status:
         _check_artifact_status(results)

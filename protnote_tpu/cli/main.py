@@ -298,6 +298,7 @@ def run(args) -> Dict:
     trainer = Trainer(
         ts, pi_cfg, pn_cfg, loss_fn, tx, tcfg,
         train_sequence_encoder=params.get("TRAIN_SEQUENCE_ENCODER", False),
+        encoder_bn_train_mode=params.get("ENCODER_BN_TRAIN_MODE", False),
         mesh=mesh,
         text_cfg=text_cfg,
         label_tokens=label_tokens,

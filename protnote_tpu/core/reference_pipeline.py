@@ -392,6 +392,49 @@ def _ensure_gloo_world1() -> None:
         dist.init_process_group("gloo", rank=0, world_size=1)
 
 
+def _make_tiny_reference_model(case: Dict, k_desc: int, seed: int):
+    """The shared tiny ProtNote (reference's own modules) used by both the
+    eval- and train-loop parity oracles; ``k_desc`` is
+    inference_descriptions_per_label (ProtNote.py ensembling)."""
+    import torch
+
+    from protnote.models.ProtNote import ProtNote
+    from protnote.models.protein_encoders import ProteInfer
+
+    torch.manual_seed(seed)
+    sequence_encoder = ProteInfer(
+        num_labels=17, input_channels=20,
+        output_channels=TINY["enc_channels"], kernel_size=TINY["enc_kernel"],
+        activation=torch.nn.ReLU, dilation_base=3,
+        num_resnet_blocks=TINY["enc_blocks"], bottleneck_factor=0.5,
+    )
+    model = ProtNote(
+        protein_embedding_dim=TINY["enc_channels"],
+        label_embedding_dim=case["emb_dim"],
+        latent_dim=TINY["latent_dim"],
+        label_embedding_pooling_method="mean",
+        sequence_embedding_dropout=0.0,
+        label_embedding_dropout=0.0,
+        label_embedding_noising_alpha=0.0,
+        label_encoder=torch.nn.Linear(4, 4),  # frozen, unused w/ cached emb
+        sequence_encoder=sequence_encoder,
+        inference_descriptions_per_label=k_desc,
+        output_mlp_hidden_dim_scale_factor=TINY["mlp_scale"],
+        output_mlp_num_layers=TINY["mlp_layers"],
+        output_neuron_bias=None,
+        outout_mlp_add_batchnorm=True,
+        residual_connection=False,
+        projection_head_num_layers=TINY["proj_layers"],
+        dropout=0.0,
+        projection_head_hidden_dim_scale_factor=TINY["proj_scale"],
+        label_encoder_num_trainable_layers=0,
+        train_sequence_encoder=False,
+        feature_fusion="concatenation",
+    )
+    randomize_bn_running_stats(model, seed + 1)
+    return model
+
+
 class _NoopCollection:
     """Duck-typed eval_metrics: the reference only needs reset/__call__/
     compute (ProtNoteTrainer.py:475,529,655); the metrics under test are the
@@ -423,8 +466,6 @@ def run_reference_pipeline(case: Dict, decision_th: float = 0.5,
 
     from protnote.data.datasets import ProteinDataset, create_multiple_loaders
     from protnote.models import ProtNoteTrainer as trainer_mod
-    from protnote.models.ProtNote import ProtNote
-    from protnote.models.protein_encoders import ProteInfer
     from protnote.utils.losses import FocalLoss
 
     with open(Path(reference_root) / "configs" / "base_config.yaml") as fh:
@@ -474,37 +515,8 @@ def run_reference_pipeline(case: Dict, decision_th: float = 0.5,
     )
     test_loader = loaders["test"][0]
 
-    torch.manual_seed(seed)
-    sequence_encoder = ProteInfer(
-        num_labels=17, input_channels=20,
-        output_channels=TINY["enc_channels"], kernel_size=TINY["enc_kernel"],
-        activation=torch.nn.ReLU, dilation_base=3,
-        num_resnet_blocks=TINY["enc_blocks"], bottleneck_factor=0.5,
-    )
-    model = ProtNote(
-        protein_embedding_dim=TINY["enc_channels"],
-        label_embedding_dim=case["emb_dim"],
-        latent_dim=TINY["latent_dim"],
-        label_embedding_pooling_method="mean",
-        sequence_embedding_dropout=0.0,
-        label_embedding_dropout=0.0,
-        label_embedding_noising_alpha=0.0,
-        label_encoder=torch.nn.Linear(4, 4),  # frozen, unused w/ cached emb
-        sequence_encoder=sequence_encoder,
-        inference_descriptions_per_label=len(inference_descriptions.split("+")),
-        output_mlp_hidden_dim_scale_factor=TINY["mlp_scale"],
-        output_mlp_num_layers=TINY["mlp_layers"],
-        output_neuron_bias=None,
-        outout_mlp_add_batchnorm=True,
-        residual_connection=False,
-        projection_head_num_layers=TINY["proj_layers"],
-        dropout=0.0,
-        projection_head_hidden_dim_scale_factor=TINY["proj_scale"],
-        label_encoder_num_trainable_layers=0,
-        train_sequence_encoder=False,
-        feature_fusion="concatenation",
-    )
-    randomize_bn_running_stats(model, seed + 1)
+    model = _make_tiny_reference_model(
+        case, k_desc=len(inference_descriptions.split("+")), seed=seed)
 
     # De-degenerate the decision surface: random-init logits sit wholly on
     # one side of DECISION_TH (F1 comparisons would be the vacuous
@@ -671,6 +683,392 @@ def _our_sweep(case, checkpoint, cfg_path, inference_descriptions, batch_size):
                             return_label_multihots=True)
     th, score = trainer.find_optimal_threshold(batcher, thresholds=SWEEP_GRID)
     return {"threshold": float(th), "score": float(score)}
+
+
+# ----------------------------------------------------------------------
+# multi-step TRAINING-loop parity
+#
+# The eval oracle above cannot see the training seam: optimizer semantics
+# (torch.optim.Adam vs optax.adam), clip_grad_norm_ on the ACCUMULATED
+# gradient, GradScaler plumbing, loss normalization by
+# GRADIENT_ACCUMULATION_STEPS (ProtNoteTrainer.py:732-755), per-epoch
+# sampler reshuffling, and multi-step BatchNorm running-stat evolution in
+# BOTH towers (model.train() covers the frozen encoder too, :671).  These
+# functions drive the reference's own ``train_one_epoch`` for E epochs and
+# our ``Trainer.train`` on the IDENTICAL batch membership order, then
+# compare per-epoch train metrics and the FINAL weights (params + BN
+# running statistics of fusion and encoder).
+
+
+def run_reference_train(case: Dict, epochs: int = 3, batch_size: int = 2,
+                        accum: int = 2, clip: float = 1.0, lr: float = 3e-3,
+                        optimizer: str = "SGD",
+                        decision_th: float = 0.5, seed: int = 7,
+                        reference_root: str = DEFAULT_REFERENCE_ROOT) -> Dict:
+    """Run the reference's train loop (ProtNoteTrainer.train_one_epoch,
+    ProtNoteTrainer.py:675-825) for ``epochs`` epochs on the shared case.
+
+    Returns per-epoch train metric dicts, the init/final reference-layout
+    checkpoints, and the captured per-epoch batch membership (sequence ids
+    in loader order) so our side can replay the identical schedule."""
+    import torch
+    import yaml
+
+    install_pipeline_stubs(reference_root)
+    _ensure_gloo_world1()
+
+    from protnote.data.datasets import ProteinDataset, create_multiple_loaders
+    from protnote.models import ProtNoteTrainer as trainer_mod
+    from protnote.utils.losses import FocalLoss
+
+    with open(Path(reference_root) / "configs" / "base_config.yaml") as fh:
+        config = yaml.safe_load(fh)
+    params = config["params"]
+    params.update(
+        TRAIN_SUBSET_FRACTION=1.0,
+        TRAIN_BATCH_SIZE=batch_size,
+        GRADIENT_ACCUMULATION_STEPS=accum,
+        CLIP_VALUE=clip,
+        LEARNING_RATE=lr,
+        OPTIMIZER=optimizer,
+        WEIGHT_DECAY=0.0,
+        NUM_EPOCHS=epochs,
+        WEIGHTED_SAMPLING=False,
+        DISTRIBUTE_LABELS=False,
+        AUGMENT_RESIDUE_PROBABILITY=0.0,
+        # single description type -> the deterministic sorted-embedding path
+        # (datasets.py:383-397); >1 would np.random-sample rows per example
+        LABEL_AUGMENTATION_DESCRIPTIONS="name",
+        EXTRACT_VOCABULARIES_FROM=None,
+        DEDUPLICATE=True,
+        MAX_SEQUENCE_LENGTH=None,
+        DECISION_TH=decision_th,
+        NORMALIZE_PROBABILITIES=False,
+        ESTIMATE_MAP=False,
+        # tiny fusion dims (encoder dims ride embed_sequences_params)
+        PROTEIN_EMBEDDING_DIM=TINY["enc_channels"],
+        LABEL_EMBEDDING_DIM=case["emb_dim"],
+        LATENT_EMBEDDING_DIM=TINY["latent_dim"],
+        PROJECTION_HEAD_NUM_LAYERS=TINY["proj_layers"],
+        PROJECTION_HEAD_HIDDEN_DIM_SCALE_FACTOR=TINY["proj_scale"],
+        OUTPUT_MLP_NUM_LAYERS=TINY["mlp_layers"],
+        OUTPUT_MLP_HIDDEN_DIM_SCALE_FACTOR=TINY["mlp_scale"],
+        LABEL_ENCODER_NUM_TRAINABLE_LAYERS=0,
+        TRAIN_SEQUENCE_ENCODER=False,
+        TRAIN_PROJECTION_HEAD=True,
+        LORA=False,
+    )
+    config["paths"] = {
+        "PARENTHOOD_LIB_PATH": str(case["parenthood"]),
+        "OUTPUT_MODEL_DIR": str(case["root"] / "outputs" / "ref_train_ckpt"),
+        "RESULTS_DIR": str(case["root"] / "outputs" / "ref_train_results"),
+    }
+    config["LABEL_EMBEDDING_PATH"] = str(case["ref_emb_path"])
+
+    logger = logging.getLogger("reference_train_oracle")
+    logger.addHandler(logging.NullHandler())
+
+    with _legacy_torch_load():
+        ds = ProteinDataset(
+            data_paths={"data_path": str(case["fasta"]),
+                        "dataset_type": "train"},
+            config=config, logger=logger,
+        )
+    loaders = create_multiple_loaders(
+        {"train": [ds]}, params, num_workers=0, pin_memory=False,
+    )
+    train_loader = loaders["train"][0]
+
+    model = _make_tiny_reference_model(case, k_desc=1, seed=seed)
+
+    # Capture batch membership per epoch BEFORE training.  With residue
+    # augmentation off and a single description type, the dataset is pure,
+    # so pre-iteration has no side effects, and the DistributedSampler
+    # permutation is a deterministic function of set_epoch
+    # (samplers.py:40-63 / torch DistributedSampler semantics).
+    model.eval()
+    orders = []
+    for epoch in range(epochs):
+        if hasattr(train_loader.sampler, "set_epoch"):
+            train_loader.sampler.set_epoch(epoch)
+        ids = []
+        for batch in train_loader:
+            ids.extend(list(batch["sequence_ids"]))
+        orders.append(ids)
+
+    # De-degenerate the decision surface (same trick as the eval oracle):
+    # center the output bias on the first train batch's median logit so the
+    # train-time F1/confusion composition is actually exercised.
+    with torch.no_grad():
+        if hasattr(train_loader.sampler, "set_epoch"):
+            train_loader.sampler.set_epoch(0)
+        b0 = next(iter(train_loader))
+        lg0, _ = model(sequence_onehots=b0["sequence_onehots"],
+                       sequence_lengths=b0["sequence_lengths"],
+                       label_embeddings=b0["label_embeddings"])
+        out_linear = [m for m in model.output_layer.modules()
+                      if isinstance(m, torch.nn.Linear)][-1]
+        out_linear.bias -= lg0.median()
+
+    init_ckpt = case["root"] / "outputs" / "shared_train_init.pt"
+    torch.save({"model_state_dict": model.state_dict(), "epoch": 0,
+                "best_val_metric": 0.0}, str(init_ckpt))
+
+    trainer = trainer_mod.ProtNoteTrainer(
+        model=model, device="cpu", rank=0, config=config, logger=logger,
+        timestamp="ts", run_name="train_parity",
+        loss_fn=FocalLoss(gamma=params["FOCAL_LOSS_GAMMA"],
+                          alpha=params["FOCAL_LOSS_ALPHA"]),
+        use_wandb=False, is_master=True,
+    )
+    # pure logging side effect that requires NVML + torch.cuda on this CPU
+    # host (utils/data.py:50-68) — not part of the semantics under test
+    trainer_mod.log_gpu_memory_usage = lambda *a, **k: None
+
+    model.train()
+    trainer.training_step = 0
+    per_epoch = []
+    for epoch in range(epochs):
+        trainer.epoch = epoch
+        # exactly what the reference's train() does per epoch (:866-868)
+        if hasattr(train_loader.sampler, "set_epoch"):
+            train_loader.sampler.set_epoch(epoch)
+        m = trainer.train_one_epoch(train_loader=train_loader,
+                                    eval_metrics=_NoopCollection())
+        per_epoch.append({k: float(v) for k, v in m.items()})
+
+    final_ckpt = case["root"] / "outputs" / "shared_train_final.pt"
+    torch.save({"model_state_dict": model.state_dict(), "epoch": epochs,
+                "best_val_metric": 0.0}, str(final_ckpt))
+    return {
+        "per_epoch": per_epoch,
+        "init_checkpoint": str(init_ckpt),
+        "final_checkpoint": str(final_ckpt),
+        "orders": orders,
+        "num_batches": len(train_loader),
+    }
+
+
+def run_our_train(case: Dict, init_checkpoint: str, orders, epochs: int = 3,
+                  batch_size: int = 2, accum: int = 2, clip: float = 1.0,
+                  lr: float = 3e-3, optimizer: str = "SGD",
+                  decision_th: float = 0.5) -> Dict:
+    """Run OUR Trainer.train for the same schedule: identical initial
+    weights (reference-layout .pt through the real converter), identical
+    per-epoch batch membership (the reference loader's captured order),
+    identical optimizer hyperparameters.  Returns per-epoch history and the
+    final state trees."""
+    import yaml
+
+    from protnote_tpu.cli._model_setup import build_inference_model
+    from protnote_tpu.core.config import DEFAULT_CONFIG_PATH, get_setup
+    from protnote_tpu.data.batching import BucketBatcher
+    from protnote_tpu.data.dataset import DatasetConfig, ProteinDataset
+    from protnote_tpu.data.label_cache import LabelEmbeddingCache
+    from protnote_tpu.models.convert import load_reference_checkpoint
+    from protnote_tpu.train.losses import get_loss_fn
+
+    with open(DEFAULT_CONFIG_PATH) as fh:
+        cfg = yaml.safe_load(fh)
+    cfg["params"].update(
+        TRAIN_BATCH_SIZE=batch_size,
+        GRADIENT_ACCUMULATION_STEPS=accum,
+        CLIP_VALUE=clip,
+        LEARNING_RATE=lr,
+        OPTIMIZER=optimizer,
+        WEIGHT_DECAY=0.0,
+        NUM_EPOCHS=epochs,
+        EPOCHS_PER_VALIDATION=10_000,
+        WEIGHTED_SAMPLING=False,
+        AUGMENT_RESIDUE_PROBABILITY=0.0,
+        LABEL_AUGMENTATION_DESCRIPTIONS="name",
+        LABEL_EMBEDDING_NOISING_ALPHA=0.0,
+        EXTRACT_VOCABULARIES_FROM=None,
+        DECISION_TH=decision_th,
+        MIXED_PRECISION=False,
+        # the reference quirk under test: frozen encoder's BN runs on batch
+        # statistics during training (ProtNoteTrainer.py:671)
+        ENCODER_BN_TRAIN_MODE=True,
+        TRAIN_SEQUENCE_ENCODER=False,
+        LORA=False,
+        PROTEIN_EMBEDDING_DIM=TINY["enc_channels"],
+        LABEL_EMBEDDING_DIM=case["emb_dim"],
+        LATENT_EMBEDDING_DIM=TINY["latent_dim"],
+        PROJECTION_HEAD_NUM_LAYERS=TINY["proj_layers"],
+        PROJECTION_HEAD_HIDDEN_DIM_SCALE_FACTOR=TINY["proj_scale"],
+        OUTPUT_MLP_NUM_LAYERS=TINY["mlp_layers"],
+        OUTPUT_MLP_HIDDEN_DIM_SCALE_FACTOR=TINY["mlp_scale"],
+        SEQUENCE_BUCKETS=[128],
+    )
+    cfg["embed_sequences_params"].update(
+        OUTPUT_CHANNELS=TINY["enc_channels"], KERNEL_SIZE=TINY["enc_kernel"],
+        NUM_RESNET_BLOCKS=TINY["enc_blocks"], PROTEINFER_NUM_GO_LABELS=17,
+    )
+    cfg_path = case["root"] / "our_train_config.yaml"
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    old_env = dict(os.environ)
+    os.environ["PROTNOTE_DATA_DIR"] = str(case["data_dir"])
+    os.environ["PROTNOTE_OUTPUT_DIR"] = str(case["root"] / "outputs")
+    try:
+        config, run_name, log = get_setup(
+            config_path=str(cfg_path), run_name="train_parity",
+            train_path_name="TRAIN_DATA_PATH",
+        )
+        params = config["params"]
+        cache = LabelEmbeddingCache.load(
+            config["LABEL_EMBEDDING_PATH"], config["LABEL_EMBEDDING_INDEX_PATH"]
+        )
+        ds = ProteinDataset(
+            str(case["fasta"]), DatasetConfig.from_params(params, "train"),
+            label_embedding_cache=cache,
+        )
+        pi_cfg, pn_cfg, trainer = build_inference_model(
+            config, params, config["paths_resolved"], cache, run_name,
+            model_file=None, mesh=None, log=log,
+            loss_fn=get_loss_fn(params),  # bound into the jitted train step
+        )
+        p2, s2, enc, _meta = load_reference_checkpoint(
+            str(init_checkpoint), pn_cfg, pi_cfg)
+        trainer.ts["trainable"]["protnote"] = p2
+        trainer.ts["model_state"] = s2
+        if enc is not None:
+            trainer.ts["enc_params"], trainer.ts["enc_state"] = enc
+
+        id_to_idx = {sid: i for i, sid in enumerate(ds.sequence_ids)}
+
+        class _ReplaySchedule(BucketBatcher):
+            """Epoch order injected from the reference loader's captured
+            batch membership (the single-bucket plan slices the order into
+            consecutive batches, matching the reference DataLoader)."""
+
+            def _epoch_indices(self, epoch):
+                return np.asarray(
+                    [id_to_idx[s] for s in orders[epoch]], dtype=np.int64)
+
+        batcher = _ReplaySchedule(
+            ds, batch_size, buckets=tuple(params["SEQUENCE_BUCKETS"]),
+            drop_last=True, return_label_multihots=True,
+        )
+        summary = trainer.train(batcher)
+    finally:
+        os.environ.clear()
+        os.environ.update(old_env)
+    return {
+        "history": summary["history"],
+        "trainer": trainer,
+        "pn_cfg": pn_cfg,
+        "pi_cfg": pi_cfg,
+    }
+
+
+def _tree_max_abs_diff(a, b) -> float:
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b), (len(leaves_a), len(leaves_b))
+    worst = 0.0
+    for la, lb in zip(leaves_a, leaves_b):
+        la = np.asarray(la, np.float64)
+        lb = np.asarray(lb, np.float64)
+        assert la.shape == lb.shape, (la.shape, lb.shape)
+        worst = max(worst, float(np.max(np.abs(la - lb))) if la.size else 0.0)
+    return worst
+
+
+def run_train_parity(reference_root: str = DEFAULT_REFERENCE_ROOT,
+                     workdir: Optional[str] = None,
+                     epochs: int = 3, batch_size: int = 2, accum: int = 2,
+                     clip: float = 1.0, lr: float = 3e-3,
+                     optimizer: str = "SGD",
+                     metric_tol: float = 5e-4,
+                     weight_tol: float = 5e-5,
+                     compare_weights: Optional[bool] = None) -> Dict:
+    """Full train-loop comparison; returns a results dict for
+    PARITY_RESULTS.json.  ``n_seqs=20`` gives 10 batches/epoch at B=2 (the
+    reference's progress logging divides by len(loader)//10, so >=10
+    batches are required) and 5 optimizer steps/epoch at accum=2.
+
+    ``optimizer='SGD'`` (default) gives the tight end-to-end gate: SGD
+    updates are LINEAR in the gradients, so f32 cross-framework gradient
+    noise stays at noise scale through the whole run and final weights must
+    match to ``weight_tol``.  ``optimizer='Adam'`` exercises the production
+    recipe but is gated on per-epoch losses only (``compare_weights``
+    defaults off): Adam's first-step update is ~lr*sign(grad), so any
+    component whose true gradient sits at float-noise scale takes a
+    +/-lr-sized step whose SIGN differs between frameworks — final weights
+    are chaotic there by construction, not by bug.  Adam-vs-torch update
+    semantics are pinned exactly by tests/test_optim_parity.py instead."""
+    import tempfile
+
+    from protnote_tpu.models.convert import load_reference_checkpoint
+
+    root = Path(workdir) if workdir else Path(tempfile.mkdtemp(
+        prefix="train_parity_"))
+    case = build_shared_case(root, n_seqs=20)
+    # our side selects the dataset via the config's TRAIN_DATA_PATH
+    # (swissprot/proteinfer_splits/random/train_GO.fasta)
+    import shutil
+
+    shutil.copyfile(case["fasta"], case["fasta"].with_name("train_GO.fasta"))
+    case["fasta"] = case["fasta"].with_name("train_GO.fasta")
+    ref = run_reference_train(case, epochs=epochs, batch_size=batch_size,
+                              accum=accum, clip=clip, lr=lr,
+                              optimizer=optimizer,
+                              reference_root=reference_root)
+    ours = run_our_train(case, ref["init_checkpoint"], ref["orders"],
+                         epochs=epochs, batch_size=batch_size, accum=accum,
+                         clip=clip, lr=lr, optimizer=optimizer)
+    if compare_weights is None:
+        compare_weights = optimizer != "Adam"
+
+    results: Dict = {}
+    for e in range(epochs):
+        ref_m = ref["per_epoch"][e]
+        our_m = ours["history"][e]
+        # the reference logs the accumulation-NORMALIZED loss (loss_i/accum,
+        # ProtNoteTrainer.py:730-735); ours logs the raw per-batch loss
+        comps = {
+            "loss": (float(our_m["loss"]), float(ref_m["train_loss"]) * accum),
+        }
+        if compare_weights:
+            # F1 counts are threshold crossings of the live logits — only
+            # meaningful as a gate while the weight trajectories themselves
+            # are gated (SGD); under Adam they inherit the sign-chaos
+            comps.update(
+                f1_micro=(float(our_m["f1_micro"]), float(ref_m["train_f1_micro"])),
+                f1_macro=(float(our_m["f1_macro"]), float(ref_m["train_f1_macro"])),
+            )
+        for k, (a, b) in comps.items():
+            diff = abs(a - b)
+            results[f"train_epoch{e}_{k}"] = {
+                "ours": a, "reference": b, "abs_diff": diff,
+                "status": "PASS" if diff <= metric_tol else "FAIL",
+            }
+
+    # final weights: reference final ckpt through the real converter vs our
+    # live state trees — params AND BatchNorm running statistics of both the
+    # fusion MLPs and the (frozen, train-mode-BN) encoder
+    trainer = ours["trainer"]
+    if not compare_weights:
+        return results
+    p2, s2, enc, _ = load_reference_checkpoint(
+        ref["final_checkpoint"], ours["pn_cfg"], ours["pi_cfg"])
+    comparisons = {
+        "final_params": (trainer.ts["trainable"]["protnote"], p2),
+        "final_bn_state": (trainer.ts["model_state"], s2),
+    }
+    if enc is not None:
+        comparisons["final_encoder_bn_state"] = (trainer.ts["enc_state"], enc[1])
+    for name, (a, b) in comparisons.items():
+        diff = _tree_max_abs_diff(a, b)
+        results[f"train_{name}"] = {
+            "max_abs_diff": diff,
+            "status": "PASS" if diff <= weight_tol else "FAIL",
+        }
+    return results
 
 
 def run_pipeline_parity(reference_root: str = DEFAULT_REFERENCE_ROOT,

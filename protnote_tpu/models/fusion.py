@@ -23,6 +23,7 @@ from protnote_tpu.models.layers import (
     Params,
     batchnorm_apply,
     dropout as dropout_fn,
+    gemm_precision,
     init_batchnorm,
     init_linear,
     linear,
@@ -249,7 +250,8 @@ def additive_attention(p: Params, hidden_states: jnp.ndarray,
     scores = linear(p, hidden_states)[..., 0]
     scores = jnp.where(attention_mask > 0, scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("lt,ltd->ld", w, hidden_states)
+    return jnp.einsum("lt,ltd->ld", w, hidden_states,
+                      precision=gemm_precision(hidden_states.dtype))
 
 
 def noise_label_embeddings(L_f: jnp.ndarray, alpha: float, rng) -> jnp.ndarray:

@@ -41,7 +41,22 @@ def init_linear(key, in_dim: int, out_dim: int, use_bias: bool = True,
     return p
 
 
+def gemm_precision(dtype):
+    """Precision for a GEMM/conv whose operands have ``dtype``.
+
+    XLA's DEFAULT precision lowers float32 matmul/conv operands to
+    bf16-class passes (one MXU pass on TPU; a reduced-precision path on
+    XLA:CPU too — measured 1.1e-2 conv error vs 3e-7 at HIGHEST).  When the
+    caller computes in float32 it asked for full precision, so force
+    HIGHEST; bfloat16 operands are a single MXU pass either way, so the
+    fast path is untouched.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    if precision is None:
+        precision = gemm_precision(x.dtype)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -71,23 +86,31 @@ def batchnorm_apply(
 ) -> Tuple[jnp.ndarray, Params]:
     """BatchNorm over ``reduce_axes`` with channel = last axis.
 
-    ``mask``/``count`` support masked statistics; by default all positions
-    (including padding, as in the reference, see SURVEY.md §7 quirks) count.
+    ``mask`` restricts the statistics to valid positions.  ``count``
+    overrides the divisor to reproduce the reference's padded-tensor
+    statistics under a DIFFERENT static padding width: the reference runs
+    plain ``BatchNorm1d`` over tensors zero-padded to the *per-batch max
+    length* (protein_encoders.py:36,48 — padding positions count), so its
+    train-mode statistics depend on that width.  With ``count`` = the
+    reference's position count (valid_rows x max_valid_length), masked sums
+    over the valid positions equal the reference's sums (padding is exact
+    zeros), and the variance gets the ``(count - n_valid) * mean^2`` term
+    the zero pads would contribute — making train-mode BN independent of
+    OUR bucket width while bit-matching the reference's quirk.
     Returns (y, new_state).
     """
     if train:
         xf = x.astype(jnp.float32)
         if mask is not None:
             m = mask.astype(jnp.float32)
-            if count is not None:
-                n = count
-            else:
-                # valid-row count per channel: broadcast the mask over every
-                # reduced axis (it may be lower-rank, e.g. (B,1,1) for (B,T,C))
-                m_full = jnp.broadcast_to(m, xf.shape[:-1] + (1,))
-                n = jnp.maximum(jnp.sum(m_full, axis=reduce_axes), 1.0)
+            # valid-position count per channel: broadcast the mask over every
+            # reduced axis (it may be lower-rank, e.g. (B,1,1) for (B,T,C))
+            m_full = jnp.broadcast_to(m, xf.shape[:-1] + (1,))
+            n_valid = jnp.maximum(jnp.sum(m_full, axis=reduce_axes), 1.0)
+            n = n_valid if count is None else count
             mean = jnp.sum(xf * m, axis=reduce_axes) / n
-            var = jnp.sum((xf - mean) ** 2 * m, axis=reduce_axes) / n
+            var = (jnp.sum((xf - mean) ** 2 * m, axis=reduce_axes)
+                   + (n - n_valid) * mean**2) / n
         else:
             n = 1.0
             for a in reduce_axes:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from protnote_tpu.models.layers import (
     Params,
     batchnorm_apply,
+    gemm_precision,
     init_batchnorm,
     init_linear,
     linear,
@@ -126,6 +127,7 @@ def _masked_conv(p: Params, x: jnp.ndarray, mask: jnp.ndarray, dilation: int) ->
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
+        precision=gemm_precision(x.dtype),
     ).astype(x.dtype)
     y = y + p["bias"].astype(y.dtype)
     return y * mask.astype(y.dtype)
@@ -145,16 +147,33 @@ def proteinfer_embed(
     Mirrors ProteInfer.get_embeddings (protein_encoders.py:109-118): conv stem,
     residual blocks, final padding zero-out, sum/length mean pool.
 
-    Train-mode BatchNorm counts every (example, position) — including padded
-    positions, matching torch BatchNorm1d over padded batches (the reference
-    runs BN on zero-padded tensors) — except rows masked off by
-    ``example_mask`` (synthetic batch-filler rows).
+    Train-mode BatchNorm reproduces the reference's statistics EXACTLY: the
+    reference runs plain ``BatchNorm1d`` over tensors zero-padded to the
+    per-batch max length (protein_encoders.py:36,48), so padding positions
+    count in its statistics — but only up to that batch's max length, not
+    our static bucket width.  Sums here run over valid positions (padding
+    is exact zeros after the masked convs) with the divisor
+    ``valid_rows x max_valid_length`` (``count``), which matches the
+    reference bit-for-bit AND makes train-mode BN independent of the bucket
+    width.  Rows masked off by ``example_mask`` (synthetic batch-filler
+    rows, which the reference never has) are excluded entirely.
     """
     x = aa_onehot.astype(cfg.dtype)
     mask = length_mask(lengths, x.shape[1])
     bn_mask = None
-    if train and example_mask is not None:
-        bn_mask = example_mask.astype(jnp.float32)[:, None, None]
+    bn_count = None
+    if train:
+        lengths_f = lengths.astype(jnp.float32)
+        if example_mask is not None:
+            em = example_mask.astype(jnp.float32)
+            bn_mask = mask * em[:, None, None]
+            rows = jnp.sum(em)
+            t_ref = jnp.max(lengths_f * em)
+        else:
+            bn_mask = mask
+            rows = jnp.asarray(x.shape[0], jnp.float32)
+            t_ref = jnp.max(lengths_f)
+        bn_count = jnp.maximum(rows * t_ref, 1.0)
 
     feats = _masked_conv(params["conv1"], x, mask, dilation=1)
 
@@ -162,13 +181,13 @@ def proteinfer_embed(
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
         out, bn1_s = batchnorm_apply(
             bp["bn1"], bs["bn1"], feats, train, eps=BN_EPS, momentum=BN_MOMENTUM,
-            reduce_axes=(0, 1), mask=bn_mask,
+            reduce_axes=(0, 1), mask=bn_mask, count=bn_count,
         )
         out = jax.nn.relu(out)
         out = _masked_conv(bp["conv_dilated"], out, mask, dilation=cfg.dilation_base ** i)
         out, bn2_s = batchnorm_apply(
             bp["bn2"], bs["bn2"], out, train, eps=BN_EPS, momentum=BN_MOMENTUM,
-            reduce_axes=(0, 1), mask=bn_mask,
+            reduce_axes=(0, 1), mask=bn_mask, count=bn_count,
         )
         out = jax.nn.relu(out)
         out = _masked_conv(bp["conv_1x1"], out, mask, dilation=1)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from protnote_tpu.models.layers import Params, init_linear, linear
+from protnote_tpu.models.layers import Params, gemm_precision, init_linear, linear
 
 LN_EPS_DEFAULT = 1e-5
 
@@ -180,11 +180,13 @@ def _attention(lp: Params, x: jnp.ndarray, bias_mask: jnp.ndarray,
     k = proj("k").reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     v = proj("v").reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+                        preferred_element_type=jnp.float32,
+                        precision=gemm_precision(q.dtype)) / math.sqrt(hd)
     scores = scores + bias_mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32,
+                     precision=gemm_precision(v.dtype)).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
     out = linear(lp["o"], ctx)
     if lora_entry is not None and "o" in lora_entry:

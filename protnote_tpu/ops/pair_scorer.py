@@ -40,6 +40,7 @@ from protnote_tpu.models.layers import (
     batchnorm_apply,
     dropout as dropout_fn,
     fold_batchnorm,
+    gemm_precision,
     linear,
 )
 
@@ -203,10 +204,10 @@ def _tiled_scaffold(folded, P_e, L_e, label_tile, compute_dtype, hidden_fn,
     L = L_e.shape[0]
 
     a = jnp.dot(P_e.astype(compute_dtype), folded.w1_p.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
     c = (
         jnp.dot(L_e.astype(compute_dtype), folded.w1_l.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
         + folded.b1.astype(jnp.float32)
     )
 
@@ -229,7 +230,7 @@ def _tiled_scaffold(folded, P_e, L_e, label_tile, compute_dtype, hidden_fn,
             )
         h = hidden_fn(jax.nn.relu(pre1).reshape(B * label_tile, -1))
         out = jnp.dot(h.astype(compute_dtype), w_out.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
         return (out + b_out).reshape(B, label_tile)
 
     tiles = jax.lax.map(tile_fn, jnp.arange(num_tiles))
@@ -252,7 +253,7 @@ def pair_logits_tiled(
     def hidden_fn(h):
         h = h.astype(compute_dtype)
         for W, b in folded.hidden:
-            h = jnp.dot(h, W.astype(compute_dtype), preferred_element_type=jnp.float32)
+            h = jnp.dot(h, W.astype(compute_dtype), preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
             h = jax.nn.relu(h + b.astype(jnp.float32)).astype(compute_dtype)
         return h
 

@@ -33,7 +33,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from protnote_tpu.models.layers import Params, linear
+from protnote_tpu.models.layers import gemm_precision, Params, linear
 from protnote_tpu.ops.pair_scorer import BN_EPS, BN_MOMENTUM
 
 Stats = Tuple[jnp.ndarray, jnp.ndarray]  # (mean, var) per feature
@@ -207,9 +207,9 @@ def pair_logits_dense_decomposed(
     b1 = layers[0].get("bias")
 
     a = jnp.dot(P_e.astype(compute_dtype), w1_p.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
     c = jnp.dot(L_e.astype(compute_dtype), w1_l.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
     if b1 is not None:
         c = c + b1.astype(jnp.float32)
 
@@ -318,9 +318,9 @@ def pair_logits_streaming_train(
     b1 = layers[0].get("bias")
 
     a = jnp.dot(P_e.astype(compute_dtype), w1_p.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
     c = jnp.dot(L_e.astype(compute_dtype), w1_l.astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=gemm_precision(compute_dtype))
     if b1 is not None:
         c = c + b1.astype(jnp.float32)
 

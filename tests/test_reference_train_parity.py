@@ -1,0 +1,62 @@
+"""Multi-step TRAINING-loop parity vs the reference's own train loop.
+
+Drives the reference's ``ProtNoteTrainer.train_one_epoch``
+(/root/reference/protnote/models/ProtNoteTrainer.py:675-825) for multiple
+epochs — real ProteinDataset + collator + DataLoader + GradScaler +
+clip_grad_norm_ + gradient accumulation + optimizer — and our
+``Trainer.train`` on the IDENTICAL batch schedule, same initial weights
+(reference-layout .pt through the real converter), same hyperparameters.
+
+SGD case (tight): updates are linear in the gradients, so everything must
+match — per-epoch train loss, the train-time F1 composition at DECISION_TH,
+and the FINAL weights including BatchNorm running statistics of both the
+fusion MLPs and the frozen train-mode-BN encoder (the reference quirk,
+ProtNoteTrainer.py:671, reproduced via ENCODER_BN_TRAIN_MODE).
+
+Adam case (loss-gated): Adam's first-step update is ~lr*sign(grad), so
+cross-framework float noise flips whole updates wherever the true gradient
+is ~0 — final weights are chaotic by construction.  Update-rule exactness
+is pinned by tests/test_optim_parity.py instead; here the per-epoch losses
+must track.
+
+This oracle found two real bugs when first run: (1) train-mode encoder BN
+statistics depended on OUR bucket width (the reference's plain BatchNorm1d
+counts zero-padding up to the per-batch max length — now reproduced exactly
+and bucket-invariant, models/proteinfer.py); (2) f32 GEMMs/convs silently
+ran at XLA's reduced default precision (models/layers.py gemm_precision).
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/protnote"),
+    reason="reference checkout unavailable",
+)
+
+
+def test_sgd_train_loop_parity(tmp_path):
+    from protnote_tpu.core.reference_pipeline import run_train_parity
+
+    results = run_train_parity(workdir=str(tmp_path), epochs=2,
+                               optimizer="SGD", lr=0.05)
+    fails = {k: v for k, v in results.items() if v.get("status") != "PASS"}
+    assert not fails, fails
+    # the comparison must not be vacuous: weights gates must have run
+    assert "train_final_params" in results
+    assert "train_final_encoder_bn_state" in results
+    assert "train_epoch1_f1_micro" in results
+
+
+def test_adam_train_loop_loss_parity(tmp_path):
+    from protnote_tpu.core.reference_pipeline import run_train_parity
+
+    results = run_train_parity(workdir=str(tmp_path), epochs=2,
+                               optimizer="Adam", lr=3e-3)
+    fails = {k: v for k, v in results.items() if v.get("status") != "PASS"}
+    assert not fails, fails
+    assert "train_epoch1_loss" in results
+    # weight comparison is intentionally absent for Adam (chaotic; see
+    # module docstring) — guard that it stays that way deliberately
+    assert "train_final_params" not in results
