@@ -386,6 +386,43 @@ def pair_logits_tiled_int8(
     epilogue.  Returns (B, L) float32 logits."""
     static = q.act_scales
 
+    if static is not None:
+        # int8-CARRY chain (static scales only): the next layer's quantize
+        # folds into this layer's epilogue as one affine —
+        #   h_q[i+1] = clip(round(relu(y * (s_act_i * s_w / s_act_{i+1})
+        #                              + b / s_act_{i+1})), 0, 127)
+        # — so activations cross layers as int8 (1 B/elem, not bf16's 2)
+        # and the separate cast+divide+round pass disappears entirely.
+        # Numerically this rounds the SAME quantity as the two-step path,
+        # minus one intermediate bf16 rounding (strictly more accurate).
+        def hidden_fn(h):
+            n = len(q.hidden_q)
+            hq = jnp.clip(jnp.round(h.astype(jnp.float32)
+                                    / jnp.float32(static[0])),
+                          -127, 127).astype(jnp.int8)
+            for i, (Wq, s_w, b) in enumerate(q.hidden_q):
+                y = jax.lax.dot_general(
+                    hq, Wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                alpha = jnp.float32(static[i]) * s_w  # (H,) dequant scale
+                if i + 1 < n:
+                    # evaluate (y*alpha + b) first, THEN scale by 1/s_next:
+                    # the same f32 quantity the two-step path feeds its
+                    # quantize (keeps the gate's measured deltas aligned)
+                    inv_next = 1.0 / jnp.float32(static[i + 1])
+                    hq = jnp.clip(
+                        jnp.round(jax.nn.relu(y * alpha[None, :] + b)
+                                  * inv_next),
+                        0, 127,
+                    ).astype(jnp.int8)
+                else:
+                    h = jax.nn.relu(y * alpha[None, :] + b).astype(jnp.bfloat16)
+            return h
+
+        return _tiled_scaffold(q, P_e, L_e, label_tile, compute_dtype,
+                               hidden_fn, q.w_out, q.b_out)
+
     def hidden_fn(h):
         # h stays bf16 between the dequant epilogue and the next quantize:
         # the row-max and round passes then read 2-byte instead of 4-byte
@@ -393,22 +430,15 @@ def pair_logits_tiled_int8(
         # keeps this path under the int8 roofline)
         h = h.astype(jnp.bfloat16)
         for i, (Wq, s_w, b) in enumerate(q.hidden_q):
-            if static is not None:
-                # calibrated static scale: the quantize is one constant
-                # multiply + round — no activation-range reduction at all
-                # (the dynamic row-max round-trip was the measured residual
-                # between 262 and a 330 frozen-scale probe)
-                s_act = jnp.float32(static[i])
-            else:
-                # per-row scale from a 1/8 column subsample: the full-tensor
-                # row-max reduction was measured to cost ~26% of this path
-                # (158 -> 117 ms with scales free); subsampled max * 1.3
-                # margin keeps per-row adaptivity at ~1/8 the read traffic,
-                # and the +-127 clip bounds any residual outlier error
-                stride = 8 if h.shape[1] >= 1024 else 1
-                m = jnp.max(jnp.abs(h[:, ::stride].astype(jnp.float32)),
-                            axis=1, keepdims=True) * (1.3 if stride > 1 else 1.0)
-                s_act = jnp.maximum(m, 1e-12) / 127.0
+            # per-row scale from a 1/8 column subsample: the full-tensor
+            # row-max reduction was measured to cost ~26% of this path
+            # (158 -> 117 ms with scales free); subsampled max * 1.3
+            # margin keeps per-row adaptivity at ~1/8 the read traffic,
+            # and the +-127 clip bounds any residual outlier error
+            stride = 8 if h.shape[1] >= 1024 else 1
+            m = jnp.max(jnp.abs(h[:, ::stride].astype(jnp.float32)),
+                        axis=1, keepdims=True) * (1.3 if stride > 1 else 1.0)
+            s_act = jnp.maximum(m, 1e-12) / 127.0
             hq = jnp.clip(jnp.round(h.astype(jnp.float32) / s_act),
                           -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(

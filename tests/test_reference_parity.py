@@ -46,7 +46,9 @@ from protnote_tpu.models.proteinfer import ProteInferConfig, proteinfer_embed, p
 
 pe_mod, pn_mod, ref_losses = load_reference_modules()
 
-TOL = dict(rtol=1e-4, atol=1e-4)
+# true-f32 GEMMs everywhere since gemm_precision (r4): module transplants
+# now agree to ~1e-6; 1e-5 catches any future precision regression
+TOL = dict(rtol=1e-5, atol=1e-5)
 
 
 # ----------------------------------------------------------------------
