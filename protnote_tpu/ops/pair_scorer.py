@@ -227,6 +227,7 @@ def _tiled_scaffold(folded, P_e, L_e, label_tile, compute_dtype, hidden_fn,
                 "bld,dh->blh", prod.astype(compute_dtype),
                 w1_prod.astype(compute_dtype),
                 preferred_element_type=jnp.float32,
+                precision=gemm_precision(compute_dtype),
             )
         h = hidden_fn(jax.nn.relu(pre1).reshape(B * label_tile, -1))
         out = jnp.dot(h.astype(compute_dtype), w_out.astype(compute_dtype),
@@ -386,19 +387,25 @@ def pair_logits_tiled_int8(
     epilogue.  Returns (B, L) float32 logits."""
     static = q.act_scales
 
-    if static is not None:
+    if static is not None and q.hidden_q:
         # int8-CARRY chain (static scales only): the next layer's quantize
-        # folds into this layer's epilogue as one affine —
-        #   h_q[i+1] = clip(round(relu(y * (s_act_i * s_w / s_act_{i+1})
-        #                              + b / s_act_{i+1})), 0, 127)
+        # folds into this layer's epilogue —
+        #   h_q[i+1] = clip(round(bf16(relu(y * s_act_i * s_w + b))
+        #                         / s_act_{i+1}), 0, 127)
         # — so activations cross layers as int8 (1 B/elem, not bf16's 2)
-        # and the separate cast+divide+round pass disappears entirely.
-        # Numerically this rounds the SAME quantity as the two-step path,
-        # minus one intermediate bf16 rounding (strictly more accurate).
+        # and the separate standalone cast+divide+round pass disappears.
+        # The bf16() round-trip inside the epilogue reproduces the two-step
+        # path's intermediate rounding BIT-EXACTLY (it is an elementwise
+        # cast fused into the same epilogue, no extra HBM pass); skipping
+        # it was measured to SHIFT the quantization grid enough to move
+        # Δmacro-mAP past the accuracy gate (tests/test_int8_metric_gate.py,
+        # 2.4e-3 vs the 2e-3 gate — ADVICE r4 high).
         def hidden_fn(h):
             n = len(q.hidden_q)
-            hq = jnp.clip(jnp.round(h.astype(jnp.float32)
-                                    / jnp.float32(static[0])),
+            # bf16 round-trip first: the two-step path casts the scaffold's
+            # f32 relu output to bf16 before quantizing
+            h = h.astype(jnp.bfloat16).astype(jnp.float32)
+            hq = jnp.clip(jnp.round(h / jnp.float32(static[0])),
                           -127, 127).astype(jnp.int8)
             for i, (Wq, s_w, b) in enumerate(q.hidden_q):
                 y = jax.lax.dot_general(
@@ -407,15 +414,14 @@ def pair_logits_tiled_int8(
                 ).astype(jnp.float32)
                 alpha = jnp.float32(static[i]) * s_w  # (H,) dequant scale
                 if i + 1 < n:
-                    # evaluate (y*alpha + b) first, THEN scale by 1/s_next:
-                    # the same f32 quantity the two-step path feeds its
-                    # quantize (keeps the gate's measured deltas aligned)
-                    inv_next = 1.0 / jnp.float32(static[i + 1])
-                    hq = jnp.clip(
-                        jnp.round(jax.nn.relu(y * alpha[None, :] + b)
-                                  * inv_next),
-                        0, 127,
-                    ).astype(jnp.int8)
+                    # the exact two-step quantity: bf16-rounded epilogue
+                    # output, then divide by the next static scale
+                    h_b = jax.nn.relu(y * alpha[None, :] + b).astype(
+                        jnp.bfloat16).astype(jnp.float32)
+                    # divide (not multiply-by-reciprocal): bit-matches the
+                    # two-step path's round(h / s)
+                    hq = jnp.clip(jnp.round(h_b / jnp.float32(static[i + 1])),
+                                  0, 127).astype(jnp.int8)
                 else:
                     h = jax.nn.relu(y * alpha[None, :] + b).astype(jnp.bfloat16)
             return h
@@ -461,4 +467,4 @@ def pair_logits_tiled_int8(
 def similarity_logits(P_e: jnp.ndarray, L_e: jnp.ndarray, temperature: float) -> jnp.ndarray:
     pn = P_e / jnp.linalg.norm(P_e, axis=-1, keepdims=True).clip(1e-12)
     ln = L_e / jnp.linalg.norm(L_e, axis=-1, keepdims=True).clip(1e-12)
-    return jnp.dot(pn, ln.T) / temperature
+    return jnp.dot(pn, ln.T, precision=gemm_precision(pn.dtype)) / temperature

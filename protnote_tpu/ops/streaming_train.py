@@ -497,6 +497,7 @@ def pair_logits_streaming_train(
             out = jnp.dot(
                 h, w_out.astype(compute_dtype),
                 preferred_element_type=jnp.float32,
+                precision=gemm_precision(compute_dtype),
             ) + b_out
             return out.reshape(B, label_tile)
 
