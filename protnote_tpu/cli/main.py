@@ -167,6 +167,12 @@ def run(args) -> Dict:
         num_resnet_blocks=esp.get("NUM_RESNET_BLOCKS", 5),
         bottleneck_factor=esp.get("BOTTLENECK_FACTOR", 0.5),
         num_labels=esp.get("PROTEINFER_NUM_GO_LABELS", 32102),
+        # reference autocasts the encoder unconditionally
+        # (ProtNoteTrainer.py:287,728); MIXED_PRECISION=False keeps the
+        # strict-f32 (Precision.HIGHEST) parity path
+        compute_dtype=(
+            jnp.bfloat16 if params.get("MIXED_PRECISION", True) else None
+        ),
     )
     pn_cfg = ProtNoteConfig.from_params(
         params,

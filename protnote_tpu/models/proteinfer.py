@@ -46,10 +46,21 @@ class ProteInferConfig:
     bottleneck_factor: float = 0.5
     num_labels: int = 32102
     dtype: Any = jnp.float32
+    # Activation/compute dtype for the forward pass; ``None`` falls back to
+    # ``dtype``.  The reference runs its encoder under ``autocast()``
+    # UNCONDITIONALLY (ProtNoteTrainer.py:287,728), so the MIXED_PRECISION
+    # path sets this to bfloat16 (one MXU pass per conv, f32 accumulation)
+    # while master weights/BN state stay in ``dtype`` (float32).  Leaving it
+    # None keeps the strict-f32 parity path (Precision.HIGHEST convs).
+    compute_dtype: Any = None
 
     @property
     def bottleneck_channels(self) -> int:
         return int(math.floor(self.output_channels * self.bottleneck_factor))
+
+    @property
+    def runtime_dtype(self) -> Any:
+        return self.dtype if self.compute_dtype is None else self.compute_dtype
 
 
 # ----------------------------------------------------------------------
@@ -158,7 +169,7 @@ def proteinfer_embed(
     width.  Rows masked off by ``example_mask`` (synthetic batch-filler
     rows, which the reference never has) are excluded entirely.
     """
-    x = aa_onehot.astype(cfg.dtype)
+    x = aa_onehot.astype(cfg.runtime_dtype)
     mask = length_mask(lengths, x.shape[1])
     bn_mask = None
     bn_count = None
@@ -227,6 +238,6 @@ def embed_from_ids(
     example_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Convenience: int residue ids -> embedding (on-device one-hot)."""
-    onehot = one_hot_sequences(aa_ids, cfg.input_channels, dtype=cfg.dtype)
+    onehot = one_hot_sequences(aa_ids, cfg.input_channels, dtype=cfg.runtime_dtype)
     return proteinfer_embed(params, state, onehot, lengths, cfg, train,
                             example_mask=example_mask)
