@@ -390,6 +390,15 @@ def run(args) -> Dict:
         all_metrics["train_summary"] = {
             "best_val_metric": summary["best_val_metric"],
             "epochs": len(summary["history"]),
+            # full per-epoch record (train loss + val metrics when run):
+            # downstream convergence checks and users' own learning-curve
+            # plots read this instead of scraping logs
+            "history": [
+                {k: (float(v) if isinstance(v, (int, float, np.floating))
+                     else v)
+                 for k, v in m.items()}
+                for m in summary["history"]
+            ],
         }
 
     # ---------------- decision threshold ----------------
