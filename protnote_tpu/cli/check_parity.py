@@ -380,13 +380,25 @@ def main(argv=None) -> int:
     if args.reference_train:
         from protnote_tpu.core.reference_pipeline import run_train_parity
 
+        # independent try/except per run: an Adam failure must not
+        # overwrite a passing SGD record (ADVICE r4)
         try:
+            # 5-epoch horizon with a mid-run checkpoint-resume at epoch 3 on
+            # BOTH sides (the reference resumes through its own
+            # save_checkpoint/load_model incl. optimizer state,
+            # utils/models.py:304-374) — gates BN running-stat evolution,
+            # accumulation boundaries, and resume semantics over a longer
+            # seam than the old 2-epoch run (VERDICT r4 weak #4)
             results["reference_train_sgd"] = run_train_parity(
-                args.reference_train, epochs=2, optimizer="SGD", lr=0.05)
-            results["reference_train_adam"] = run_train_parity(
-                args.reference_train, epochs=2, optimizer="Adam", lr=3e-3)
+                args.reference_train, epochs=5, optimizer="SGD", lr=0.05,
+                resume_at=3)
         except Exception as e:  # e.g. reference tree not mounted
             results["reference_train_sgd"] = {"status": "FAIL", "error": str(e)}
+        try:
+            results["reference_train_adam"] = run_train_parity(
+                args.reference_train, epochs=2, optimizer="Adam", lr=3e-3)
+        except Exception as e:
+            results["reference_train_adam"] = {"status": "FAIL", "error": str(e)}
 
     if args.artifact_status:
         _check_artifact_status(results)

