@@ -133,6 +133,10 @@ def main():
                     help="sequence budget for each secondary measurement "
                          "(eval-with-metrics, int8-static, train) folded "
                          "into the default mode's final JSON line")
+    ap.add_argument("--legacy-buckets", action="store_true",
+                    help="with --length-dist swissprot: use DEFAULT_BUCKETS "
+                         "at fixed rows (the r4 configuration) instead of "
+                         "the tuned set + token-budget rows")
     ap.add_argument("--headline-only", action="store_true",
                     help="default mode: skip the secondary measurements "
                          "(train/eval-metrics/int8) and print only the "
@@ -449,14 +453,26 @@ def main():
         )
         log("dataset built")
 
-        from protnote_tpu.data.batching import DEFAULT_BUCKETS
+        from protnote_tpu.data.batching import (
+            DEFAULT_BUCKETS, SWISSPROT_BUCKETS,
+        )
 
-        buckets = (DEFAULT_BUCKETS if args.length_dist == "swissprot"
-                   else (T,))
+        if args.length_dist == "swissprot":
+            # tuned bucket set + token-budget rows (VERDICT r4 #4: DEFAULT
+            # buckets at fixed 32 rows measured 37% padding-position waste;
+            # the long-tail buckets ran nearly-empty 32-row batches).
+            # --legacy-buckets reproduces the r4 configuration for A/B.
+            buckets = (DEFAULT_BUCKETS if args.legacy_buckets
+                       else SWISSPROT_BUCKETS)
+            tokens = None if args.legacy_buckets else B * 512
+            row_cap = B if args.legacy_buckets else max(B, 128)
+        else:
+            buckets, tokens, row_cap = (T,), None, B
         batcher = PrefetchBatcher(
-            BucketBatcher(ds, B, buckets=buckets,
+            BucketBatcher(ds, row_cap, buckets=buckets,
                           return_label_multihots=args.pipeline_metrics,
-                          device_label_gather=True),
+                          device_label_gather=True,
+                          tokens_per_batch=tokens),
             prefetch=2,
         )
         ts = init_train_state(
@@ -691,12 +707,59 @@ def main():
         if not args.headline_only and args.length_dist == "uniform":
             sec = args.secondary_seqs
 
+            # Self-labeling (r5): at random init both scorers sit at chance,
+            # so the int8-vs-bf16 mAP deltas round to exactly 0.0 — vacuous.
+            # Relabel the secondary sequences so positives are EXACTLY the
+            # bf16 model's pooled top-3n (sequence, label) pairs: bf16 micro
+            # mAP is then ~1.0 by construction (every positive outranks
+            # every negative in the pooled ranking) and the int8 delta
+            # measures real ranking perturbation near the decision boundary
+            # — the on-chip analogue of tests/test_int8_metric_gate.py.
+            # (Per-ROW top-k would NOT work: at random init the per-sequence
+            # logit offset dominates the pooled ranking and micro AP
+            # collapses to prevalence regardless of backend.)
+            lab_batcher = PrefetchBatcher(
+                BucketBatcher(ds, B, buckets=(T,), device_label_gather=True),
+                prefetch=2,
+            )
+            lg_by_sid = {}
+            for batch in lab_batcher:
+                lg = np.asarray(ev16(ts, swap(batch_to_device_dict(batch))))
+                for r, sid in enumerate(batch.sequence_ids):
+                    if sid and batch.example_mask[r]:
+                        lg_by_sid[sid] = lg[r]
+                if len(lg_by_sid) >= sec:
+                    break
+            sids = list(lg_by_sid)
+            all_lg = np.stack([lg_by_sid[s] for s in sids])
+            npos = 3 * len(sids)
+            thr = np.partition(all_lg.reshape(-1), -npos)[-npos]
+            seq_by_sid = {sid: seq for seq, sid, _ in recs}
+            recs_sec = [
+                (seq_by_sid[sid],
+                 sid,
+                 [labels[j] for j in np.nonzero(all_lg[i] >= thr)[0]])
+                for i, sid in enumerate(sids)
+            ]
+            del lg_by_sid
+            fasta_sec = f"{tmp}/bench_selflabel.fasta"
+            save_to_fasta(recs_sec, fasta_sec)
+            ds_sec = ProteinDataset(
+                fasta_sec,
+                DatasetConfig(dataset_type="test",
+                              inference_go_descriptions=("name",),
+                              inference_descriptions_per_label=1),
+                label_embedding_cache=cache, vocabularies=vocabs,
+            )
+            log(f"self-labeled {len(recs_sec)} secondary seqs "
+                f"(pooled bf16 top-{npos} pairs, thr={float(thr):.3f})")
+
             def fresh_mbatcher():
                 # one batcher PER PASS: sharing one PrefetchBatcher across
                 # passes resumes mid-epoch with a live prefetch thread and
                 # skews per-pass rates
                 return PrefetchBatcher(
-                    BucketBatcher(ds, B, buckets=(T,),
+                    BucketBatcher(ds_sec, B, buckets=(T,),
                                   return_label_multihots=True,
                                   device_label_gather=True),
                     prefetch=2,
@@ -714,6 +777,64 @@ def main():
             final_i8, s_i8, s_i8_stream = run_metrics_pass(
                 cfg_i8, "eval-metrics-int8-static", fresh_mbatcher(), warm2,
                 max_seqs=sec)
+
+            # Exact int8-vs-bf16 accuracy deltas, host-side (r5).  The
+            # accumulator passes above are THROUGHPUT measurements; their
+            # binned estimator bins in probability space and a random-init
+            # model's logits all land in one bin, so its deltas are
+            # vacuous here.  Instead read back the int8 logits for the
+            # same sequences (bf16 logits already in hand from the
+            # labeling pass) and compute exact AP on host.  bf16 micro AP
+            # is 1.0 by construction (positives = pooled top-npos bf16
+            # pairs), so the int8 deltas are pure quantization-induced
+            # ranking perturbation.
+            ev_i8_raw = make_eval_step(pi_cfg, cfg_i8)
+
+            @jax.jit
+            def ev16_i8(ts_, arrays):
+                return ev_i8_raw(ts_, arrays)["logits"].astype(jnp.float16)
+
+            need = set(sids)
+            lg_i8 = {}
+            for batch in PrefetchBatcher(
+                    BucketBatcher(ds, B, buckets=(T,),
+                                  device_label_gather=True), prefetch=2):
+                lg = np.asarray(ev16_i8(ts, swap(batch_to_device_dict(batch))))
+                for r, sid in enumerate(batch.sequence_ids):
+                    if sid in need:
+                        lg_i8[sid] = lg[r]
+                if len(lg_i8) >= len(sids):
+                    break
+            all_i8 = np.stack([lg_i8[s] for s in sids])
+            del lg_i8
+
+            def exact_micro_ap(scores, y):
+                # AP = mean over positives of precision at that positive's
+                # rank; ties vs negatives break optimistically (strictly-
+                # greater negatives only) — bf16 on its own labels is then
+                # exactly 1.0, the useful zero point
+                pos = np.sort(scores[y])[::-1].astype(np.float32)
+                neg = np.sort(scores[~y].astype(np.float32))
+                n_gt = len(neg) - np.searchsorted(neg, pos, side="right")
+                ranks = np.arange(1, len(pos) + 1)
+                return float(np.mean(ranks / (ranks + n_gt)))
+
+            def exact_macro_ap(scores, y):
+                return float(np.mean([
+                    exact_micro_ap(scores[:, j], y[:, j])
+                    for j in np.nonzero(y.any(axis=0))[0]
+                ]))
+
+            y_sec = all_lg >= thr
+            m_bf, m_i8 = exact_micro_ap(all_lg, y_sec), exact_micro_ap(all_i8, y_sec)
+            M_bf, M_i8 = exact_macro_ap(all_lg, y_sec), exact_macro_ap(all_i8, y_sec)
+            flat_i8 = all_i8.reshape(-1)
+            top_i8 = np.argpartition(-flat_i8, npos)[:npos]
+            overlap = float(np.count_nonzero(
+                (all_lg.reshape(-1) >= thr)[top_i8])) / npos
+            log(f"exact self-label metrics: micro bf16={m_bf:.4f} "
+                f"int8={m_i8:.4f}; macro bf16={M_bf:.4f} int8={M_i8:.4f}; "
+                f"top-pair overlap={overlap:.4f}")
 
             # train step at B=16 (the BENCHMARKS.md train-bench shape),
             # full L-label dense scoring, FocalLoss + Adam + clip
@@ -762,9 +883,14 @@ def main():
                 "int8_static_seqs_per_sec": round(s_i8, 1),
                 "int8_static_stream_seqs_per_sec": round(s_i8_stream, 1),
                 "train_seqs_per_sec_b16": round(s_train, 2),
-                **{f"{k}_delta_int8_vs_bf16": round(
-                       abs(final_i8[k] - final_bf16[k]), 6)
-                   for k in ("map_micro", "map_macro", "f1_micro")},
+                # exact (sort-based, host) self-label accuracy deltas;
+                # bf16 micro is 1.0 by construction so the deltas read as
+                # absolute quantization-induced ranking perturbation
+                "map_micro_delta_int8_vs_bf16": round(abs(m_i8 - m_bf), 6),
+                "map_macro_delta_int8_vs_bf16": round(abs(M_i8 - M_bf), 6),
+                "top_pair_overlap_int8_vs_bf16": round(overlap, 4),
+                "map_micro_bf16_selflabel": round(m_bf, 4),
+                "map_macro_bf16_selflabel": round(M_bf, 4),
                 "secondary_seqs": sec,
             })
 

