@@ -137,6 +137,13 @@ def main():
                     help="with --length-dist swissprot: use DEFAULT_BUCKETS "
                          "at fixed rows (the r4 configuration) instead of "
                          "the tuned set + token-budget rows")
+    ap.add_argument("--tokens-per-batch", type=int, default=None,
+                    help="with --length-dist swissprot: override the token "
+                         "budget (default batch*512); rows per bucket = "
+                         "clip(round8(tokens/width), 8, --row-cap)")
+    ap.add_argument("--row-cap", type=int, default=None,
+                    help="with --length-dist swissprot: max rows per batch "
+                         "(default max(batch, 128))")
     ap.add_argument("--headline-only", action="store_true",
                     help="default mode: skip the secondary measurements "
                          "(train/eval-metrics/int8) and print only the "
@@ -462,10 +469,19 @@ def main():
             # buckets at fixed 32 rows measured 37% padding-position waste;
             # the long-tail buckets ran nearly-empty 32-row batches).
             # --legacy-buckets reproduces the r4 configuration for A/B.
+            # Default = the measured-best config: fine buckets carry the
+            # intra-bucket-padding win; the token budget (B*4096) shrinks
+            # ONLY the extreme-tail batches (16 rows @ 8192, 8 @ 12288).
+            # At L=32102 the pair scorer dominates, so shrinking MID-bucket
+            # rows (--tokens-per-batch 16384 --row-cap 128) costs more
+            # scorer efficiency than encoder padding saves: measured 133.3
+            # vs 137.0 seqs/s for this default vs 135.6 legacy.
             buckets = (DEFAULT_BUCKETS if args.legacy_buckets
                        else SWISSPROT_BUCKETS)
-            tokens = None if args.legacy_buckets else B * 512
-            row_cap = B if args.legacy_buckets else max(B, 128)
+            tokens = (None if args.legacy_buckets
+                      else (args.tokens_per_batch or B * 4096))
+            row_cap = (B if args.legacy_buckets
+                       else (args.row_cap or B))
         else:
             buckets, tokens, row_cap = (T,), None, B
         batcher = PrefetchBatcher(
@@ -883,14 +899,18 @@ def main():
                 "int8_static_seqs_per_sec": round(s_i8, 1),
                 "int8_static_stream_seqs_per_sec": round(s_i8_stream, 1),
                 "train_seqs_per_sec_b16": round(s_train, 2),
-                # exact (sort-based, host) self-label accuracy deltas;
-                # bf16 micro is 1.0 by construction so the deltas read as
-                # absolute quantization-induced ranking perturbation
-                "map_micro_delta_int8_vs_bf16": round(abs(m_i8 - m_bf), 6),
-                "map_macro_delta_int8_vs_bf16": round(abs(M_i8 - M_bf), 6),
-                "top_pair_overlap_int8_vs_bf16": round(overlap, 4),
-                "map_micro_bf16_selflabel": round(m_bf, 4),
-                "map_macro_bf16_selflabel": round(M_bf, 4),
+                # exact (sort-based, host) SELF-LABEL deltas: a near-tie
+                # STRESS measure — the random-init model's pooled logit
+                # spread is tiny, so int8's ~1e-2-sigma noise reshuffles
+                # far more of the ranking than on a trained model (whose
+                # logit spread is ~10+; the trained-model accuracy gate is
+                # tests/test_int8_metric_gate.py, Δmacro-mAP ≤ 2e-3).
+                # bf16 micro/macro are 1.0 by construction.
+                "selflabel_map_micro_delta_int8": round(abs(m_i8 - m_bf), 6),
+                "selflabel_map_macro_delta_int8": round(abs(M_i8 - M_bf), 6),
+                "selflabel_top_pair_overlap_int8": round(overlap, 4),
+                "selflabel_map_micro_bf16": round(m_bf, 4),
+                "selflabel_map_macro_bf16": round(M_bf, 4),
                 "secondary_seqs": sec,
             })
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 from typing import Dict, Optional
@@ -426,8 +427,21 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    # MERGE into the existing record: a narrow invocation (e.g. a round-start
+    # --artifact-status probe) must not clobber previously-recorded parity
+    # gates — only the keys this run produced are replaced
+    merged = {}
+    if os.path.exists(args.output):
+        try:
+            with open(args.output) as fh:
+                prior = json.load(fh)
+            if isinstance(prior, dict):
+                merged = prior
+        except Exception:
+            pass  # unreadable prior record: start fresh
+    merged.update(results)
     with open(args.output, "w") as fh:
-        json.dump(results, fh, indent=2, default=float)
+        json.dump(merged, fh, indent=2, default=float)
     def _statuses(key, val):
         if "status" in val:
             yield key, str(val["status"])

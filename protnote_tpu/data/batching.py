@@ -139,10 +139,15 @@ class BucketBatcher:
         # their encoder FLOPs in the long-tail buckets (a 32-row 12288-wide
         # batch carrying 2 real sequences is 94% filler).  When set, rows
         # per batch become clip(round8(tokens_per_batch / width), 8,
-        # batch_size): short buckets keep (up to) batch_size rows, long
-        # buckets shrink toward 8 — measured waste on the SwissProt-like
-        # distribution drops 37% -> ~19% with the 14-bucket tuned set.
-        # ``batch_size`` is the row CAP; one compile per bucket either way.
+        # batch_size).  ``batch_size`` is the row CAP; one compile per
+        # bucket either way.  Measured guidance (TPU v5e, SwissProt length
+        # dist + SWISSPROT_BUCKETS): for full-vocabulary scoring the pair
+        # scorer dominates, so pick tokens ~ 4096*batch_size — rows shrink
+        # ONLY in the extreme-tail buckets and throughput beats fixed rows
+        # (137.0 vs 135.6 seqs/s) at ~18% waste; an aggressive budget
+        # (~512*batch_size) minimizes encoder waste but shrinks mid-bucket
+        # scorer batches and measured SLOWER (133.3).  Use aggressive
+        # budgets only for encoder-dominated work (small label sets).
         self.tokens_per_batch = (
             None if tokens_per_batch is None else int(tokens_per_batch)
         )

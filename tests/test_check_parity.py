@@ -126,3 +126,20 @@ def test_check_parity_bad_pickle(tmp_path):
     assert rc == 1
     results = json.loads(out.read_text())
     assert results["tf_pickle"]["status"] == "FAIL"
+
+
+def test_artifact_status_merges_into_existing_record(tmp_path):
+    """A narrow --artifact-status probe must not clobber previously-recorded
+    parity gates (r5: the round-start probe wiped the reference_code /
+    reference_train records the judge reads)."""
+    out = tmp_path / "PARITY_RESULTS.json"
+    out.write_text(json.dumps({
+        "reference_code": {"losses": {"status": "PASS"}},
+        "reference_train_sgd": {"status": "PASS"},
+    }))
+    rc = check_parity_main(["--artifact-status", "--output", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    assert results["reference_code"]["losses"]["status"] == "PASS"
+    assert results["reference_train_sgd"]["status"] == "PASS"
+    assert "artifact_status" in results
