@@ -127,3 +127,29 @@ def test_epoch_coverage_with_shuffle(tmp_path):
     bat.set_epoch(2)
     seen = [sid for b in bat for sid in b.sequence_ids if sid]
     assert sorted(seen) == sorted(f"S{i}" for i in range(60))
+
+
+def test_grid_batcher_with_token_budget(tmp_path):
+    """GridBatcher pairs (sequence batch x label tile); with a token budget
+    the inner per-bucket row counts flow through unchanged."""
+    from protnote_tpu.data.batching import GridBatcher
+
+    lens = ([60] * 18) + ([1200] * 4)
+    ds = _make_ds(tmp_path, lens, n_labels=16)
+    inner = BucketBatcher(ds, 16, buckets=(128, 2048),
+                          tokens_per_batch=2048, device_label_gather=True)
+    grid = GridBatcher(inner, labels_batch_size=8)
+    seen = {}
+    for b in grid:
+        w = b.aa_ids.shape[1]
+        expect_rows = min(max((2048 // w) // 8 * 8, 8), 16)
+        assert b.aa_ids.shape[0] == expect_rows
+        assert b.label_indices is not None and len(b.label_indices) == 8
+        for r, sid in enumerate(b.sequence_ids):
+            if sid:
+                seen.setdefault(sid, set()).update(
+                    int(i) for i in b.label_indices)
+    # every sequence meets every label tile -> the full 16-label vocabulary
+    assert set(seen) == {f"S{i}" for i in range(len(lens))}
+    for sid, cols in seen.items():
+        assert cols == set(range(16))
