@@ -139,11 +139,11 @@ def main():
                          "the tuned set + token-budget rows")
     ap.add_argument("--tokens-per-batch", type=int, default=None,
                     help="with --length-dist swissprot: override the token "
-                         "budget (default batch*512); rows per bucket = "
+                         "budget (default batch*4096); rows per bucket = "
                          "clip(round8(tokens/width), 8, --row-cap)")
     ap.add_argument("--row-cap", type=int, default=None,
                     help="with --length-dist swissprot: max rows per batch "
-                         "(default max(batch, 128))")
+                         "(default --batch)")
     ap.add_argument("--headline-only", action="store_true",
                     help="default mode: skip the secondary measurements "
                          "(train/eval-metrics/int8) and print only the "
@@ -506,6 +506,10 @@ def main():
         first = next(iter(batcher))
         arrays = batch_to_device_dict(first)
         arrays["label_matrix"] = label_matrix
+        # `arrays` is re-bound per batch inside the timed loop below; keep a
+        # stable handle on the FIRST batch for everything that documents
+        # itself as first-batch calibration/warmup
+        first_arrays = arrays
 
         # eval label layout is batch-invariant: project the resident label
         # rows through W_l ONCE (the per-batch label tower is pure overhead)
@@ -525,13 +529,15 @@ def main():
         from protnote_tpu.models.fusion import calibrate_int8
 
         def calibrate_scales():
-            # static activation scales from the first batch's real encoder
-            # outputs
+            # static activation scales from the FIRST batch's real encoder
+            # outputs (first_arrays: `arrays` is loop-shadowed by the timed
+            # pipeline loop, so a late caller would otherwise calibrate on
+            # whatever batch happened to be last)
             P_f0 = jax.jit(
                 lambda ts_, a, ln: embed_from_ids(
                     ts_["enc_params"], ts_["enc_state"], a, ln, pi_cfg
                 )[0]
-            )(ts, arrays["aa_ids"], arrays["lengths"])
+            )(ts, first_arrays["aa_ids"], first_arrays["lengths"])
             scales = calibrate_int8(
                 ts["trainable"]["protnote"], ts["model_state"], P_f0, pn_cfg,
                 label_latents=latents,
@@ -572,7 +578,12 @@ def main():
 
         def run_metrics_pass(cfg, tag, mbatcher, warm_arrays, max_seqs=None):
             """FASTA->batcher->fused eval+metric dispatch->finalize for
-            one scorer config; returns (metric dict, seqs/s)."""
+            one scorer config; returns (metric dict, seqs/s).
+
+            warm_arrays: one device-dict per bucket width that will occur —
+            every width is compiled BEFORE the clock starts (a multi-bucket
+            batcher would otherwise hide up to len(buckets)-1 XLA compiles
+            inside the timed loop)."""
             acc = DeviceEvalAccumulator(L, 0.5)
             raw_ev = make_eval_step(pi_cfg, cfg, jit=False)
             upd = acc.update_fn
@@ -586,10 +597,13 @@ def main():
                            arrays["label_multihots"],
                            arrays["example_mask"], ones_lm, None)
 
-            acc.state = ev_fused(ts, swap(warm_arrays), acc.state)
+            if isinstance(warm_arrays, dict):
+                warm_arrays = [warm_arrays]
+            for wa in warm_arrays:
+                acc.state = ev_fused(ts, swap(wa), acc.state)
             jax.block_until_ready(acc.state)
             acc = DeviceEvalAccumulator(L, 0.5)  # reset after warmup
-            log(f"compiled ({tag})")
+            log(f"compiled ({tag}): {len(warm_arrays)} bucket width(s)")
             t0 = time.perf_counter()
             done_seqs = 0
             nb = 0
@@ -623,9 +637,33 @@ def main():
             # stream rate is budget-invariant
             return final, done_seqs / dt, done_seqs / dt_stream
 
+        # Every bucket width the length distribution will produce must be
+        # compiled OUTSIDE any timed loop; the compile count itself is a
+        # reported cost of the multi-bucket configuration (VERDICT r4 #4).
+        expected_widths = {
+            int(min((b for b in buckets if b >= length),
+                    default=buckets[-1]))
+            for length in lens
+        }
+
+        def collect_warm_batches():
+            """One device-dict per expected bucket width (first batch
+            reused for its width)."""
+            warm = {first.aa_ids.shape[1]: arrays}
+            if len(expected_widths) > 1:
+                for batch in batcher:
+                    w = batch.aa_ids.shape[1]
+                    if w in warm:
+                        continue
+                    warm[w] = batch_to_device_dict(batch)
+                    if set(warm) >= expected_widths:
+                        break
+            return list(warm.values())
+
         if args.pipeline_metrics:
+            warm_list = collect_warm_batches()
             final, seqs_per_sec, _ = run_metrics_pass(
-                pn_cfg, args.backend, batcher, arrays)
+                pn_cfg, args.backend, batcher, warm_list)
             pairs_per_sec = seqs_per_sec * L
             extra = {}
             if args.backend in ("int8", "int8-static"):
@@ -636,7 +674,7 @@ def main():
                 bf16_cfg = dataclasses.replace(
                     pn_cfg, pair_backend="auto", int8_act_scales=None)
                 final_bf16, _, _ = run_metrics_pass(
-                    bf16_cfg, "bf16-reference", batcher, arrays)
+                    bf16_cfg, "bf16-reference", batcher, warm_list)
                 for k in ("map_micro", "map_macro", "f1_micro"):
                     extra[f"{k}_delta_vs_bf16"] = round(
                         abs(final[k] - final_bf16[k]), 6)
@@ -652,14 +690,7 @@ def main():
             }))
             return
 
-        # Pre-compile every bucket width that will occur OUTSIDE the timed
-        # loop; the compile count itself is a reported cost of the
-        # multi-bucket configuration (VERDICT r4 #4).
-        expected_widths = {
-            int(min((b for b in buckets if b >= length),
-                    default=buckets[-1]))
-            for length in lens
-        }
+        # Pre-compile every expected bucket width for the readback pipeline.
         warmed = set()
         for batch in batcher:
             w = batch.aa_ids.shape[1]
@@ -723,6 +754,24 @@ def main():
         if not args.headline_only and args.length_dist == "uniform":
             sec = args.secondary_seqs
 
+            # The reference side of every delta below must be the EXACT
+            # bf16 scorer even when the headline --backend is int8 /
+            # int8-static: pn_cfg (and ev16) then carry the int8 backend,
+            # and reusing them for the "bf16" labeling pass + metrics pass
+            # would silently measure int8-vs-int8 (deltas ~0).
+            if args.backend in ("int8", "int8-static"):
+                bf16_cfg = dataclasses.replace(
+                    pn_cfg, pair_backend="auto", int8_act_scales=None)
+                _ev_bf16 = make_eval_step(pi_cfg, bf16_cfg)
+
+                @jax.jit
+                def ev16_bf16(ts_, arrays_):
+                    return _ev_bf16(ts_, arrays_)["logits"].astype(
+                        jnp.float16)
+            else:
+                bf16_cfg = pn_cfg
+                ev16_bf16 = ev16
+
             # Self-labeling (r5): at random init both scorers sit at chance,
             # so the int8-vs-bf16 mAP deltas round to exactly 0.0 — vacuous.
             # Relabel the secondary sequences so positives are EXACTLY the
@@ -740,7 +789,8 @@ def main():
             )
             lg_by_sid = {}
             for batch in lab_batcher:
-                lg = np.asarray(ev16(ts, swap(batch_to_device_dict(batch))))
+                lg = np.asarray(
+                    ev16_bf16(ts, swap(batch_to_device_dict(batch))))
                 for r, sid in enumerate(batch.sequence_ids):
                     if sid and batch.example_mask[r]:
                         lg_by_sid[sid] = lg[r]
@@ -785,10 +835,10 @@ def main():
             warm2["label_matrix"] = label_matrix
 
             final_bf16, s_bf16, s_bf16_stream = run_metrics_pass(
-                pn_cfg, "eval-metrics-bf16", fresh_mbatcher(), warm2,
+                bf16_cfg, "eval-metrics-bf16", fresh_mbatcher(), warm2,
                 max_seqs=sec)
             cfg_i8 = dataclasses.replace(
-                pn_cfg, pair_backend="tiled_int8",
+                bf16_cfg, pair_backend="tiled_int8",
                 int8_act_scales=calibrate_scales())
             final_i8, s_i8, s_i8_stream = run_metrics_pass(
                 cfg_i8, "eval-metrics-int8-static", fresh_mbatcher(), warm2,

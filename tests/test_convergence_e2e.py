@@ -153,7 +153,8 @@ def _run_cli(root, extra):
 
 @pytest.fixture(scope="module")
 def converged(motif_root):
-    """Phase 1 (epochs 0..11), then mid-run resume (12..21)."""
+    """Phase 1 (epochs 0..PHASE1_EPOCHS-1), then mid-run resume
+    (PHASE1_EPOCHS..TOTAL_EPOCHS-1)."""
     m1 = _run_cli(motif_root, [
         "--train-path-name", "TRAIN_DATA_PATH",
         "--validation-path-name", "VAL_DATA_PATH",
@@ -218,7 +219,7 @@ def test_best_checkpoint_tracked_best_epoch(converged):
 def test_resume_continued_not_reset(converged):
     m1, m2 = converged
     assert m1["train_summary"]["epochs"] == PHASE1_EPOCHS
-    # phase 2 ran only the REMAINING epochs (12..21), not all 22
+    # phase 2 ran only the REMAINING epochs, not all TOTAL_EPOCHS
     assert m2["train_summary"]["epochs"] == TOTAL_EPOCHS - PHASE1_EPOCHS
     l1 = m1["train_summary"]["history"][-1]["loss"]
     l2_first = m2["train_summary"]["history"][0]["loss"]
