@@ -11,8 +11,8 @@ label-latent matrix, optionally compiles every bucket shape up front
 
 Concurrent requests micro-batch into shared device dispatches (up to
 --max-batch sequences / --max-wait-ms).  ``--override
-'PAIR_BACKEND=tiled_int8'`` serves the int8 static-scale path (242 seqs/s
-end-to-end on a v5e-1 vs 138.6 bf16; scales calibrate on the first batch).
+'PAIR_BACKEND=tiled_int8'`` serves the int8 static-scale path (234 seqs/s
+end-to-end on a v5e-1 vs 138.8 bf16; scales calibrate on the first batch).
 
 The reference has no serving story — its inference entry points are batch
 eval drivers (bin/main.py, Results.ipynb); this CLI plus

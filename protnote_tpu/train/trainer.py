@@ -72,7 +72,7 @@ class TrainerConfig:
     debug_nan: bool = False
     # auto-calibrate static int8 activation scales on the first batch of the
     # first evaluation when PAIR_BACKEND=tiled_int8 and no INT8_ACT_SCALES
-    # were supplied (static scales are both faster — 242 vs 205 seqs/s
+    # were supplied (static scales are both faster — 234 vs 205 seqs/s
     # end-to-end — and drop the dynamic subsample-max clip risk)
     int8_calibrate: bool = True
     # exact-mAP host accumulator: spill score shards to the disk spool past
